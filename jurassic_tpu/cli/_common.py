@@ -1,0 +1,37 @@
+"""Shared helpers for the CLI tools (reference-compatible argv handling)."""
+from __future__ import annotations
+
+import sys
+from typing import Sequence
+
+from ..config import Ctl, CtlScanner, read_ctl
+
+
+def die(msg: str) -> None:
+    print(f"\nError: {msg}\n")
+    sys.exit(1)
+
+
+def cli_main(fn):
+    """Wrap a CLI entry point: user-input errors exit(1) with a clean
+    message instead of a traceback."""
+    def wrapper(argv=None):
+        from ..config import CtlError
+        try:
+            return fn(argv)
+        except SystemExit:
+            raise
+        except (CtlError, ValueError, OSError) as e:
+            die(str(e))
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
+def load_ctl(argv: Sequence[str], min_args: int, usage: str) -> tuple[Ctl, CtlScanner]:
+    if len(argv) < min_args:
+        die(f"Give parameters: {usage}")
+    ctl = read_ctl(argv)
+    scanner = CtlScanner(argv)
+    scanner.verbose = False
+    return ctl, scanner

@@ -1,0 +1,248 @@
+"""Atmosphere / observation containers and tab-separated ASCII I/O.
+
+Formats are byte-compatible with the reference writers
+(``write_atm`` jurassic.c:1249-1277, ``write_obs`` jurassic.c:1426-1470,
+``read_atm`` :882-916, ``read_obs`` :1041-1068): ``#``-prefixed headers,
+``%.2f`` times, ``%g`` data fields, blank lines between time blocks.
+
+Unlike the reference's statically-sized structs-of-arrays (atm_t/obs_t,
+jurassic.h:215-226/371-385) these containers are runtime-shaped NumPy
+arrays in float64; shapes are padded only at the jit boundary.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .config import Ctl, NP_MAX, NR_MAX
+
+
+def _fmt_g(x: float) -> str:
+    """C printf %g formatting (Python's %g matches C's for these values)."""
+    return "%g" % x
+
+
+@dataclass
+class Atm:
+    """Atmospheric state: struct-of-arrays over data points.
+
+    Mirror of atm_t (jurassic.h:215-226): time [s since 2000-01-01T00:00Z],
+    z [km], lon/lat [deg], p [hPa], t [K], vmr q[ng] and gray extinction
+    k[nw] [1/km].
+    """
+
+    time: np.ndarray
+    z: np.ndarray
+    lon: np.ndarray
+    lat: np.ndarray
+    p: np.ndarray
+    t: np.ndarray
+    q: np.ndarray  # [ng, np]
+    k: np.ndarray  # [nw, np]
+
+    @property
+    def npts(self) -> int:
+        return int(self.time.shape[0])
+
+    @classmethod
+    def zeros(cls, npts: int, ng: int, nw: int) -> "Atm":
+        return cls(
+            time=np.zeros(npts), z=np.zeros(npts), lon=np.zeros(npts),
+            lat=np.zeros(npts), p=np.zeros(npts), t=np.zeros(npts),
+            q=np.zeros((ng, npts)), k=np.zeros((nw, npts)),
+        )
+
+    def copy(self) -> "Atm":
+        return Atm(*(np.array(getattr(self, f.name)) for f in
+                     __import__("dataclasses").fields(Atm)))
+
+
+@dataclass
+class Obs:
+    """Observation geometry and radiance data (mirror of obs_t,
+    jurassic.h:371-385). rad/tau are [nr, nd], channel-minor."""
+
+    time: np.ndarray
+    obsz: np.ndarray
+    obslon: np.ndarray
+    obslat: np.ndarray
+    vpz: np.ndarray
+    vplon: np.ndarray
+    vplat: np.ndarray
+    tpz: np.ndarray
+    tplon: np.ndarray
+    tplat: np.ndarray
+    rad: np.ndarray  # [nr, nd]
+    tau: np.ndarray  # [nr, nd]
+
+    @property
+    def nr(self) -> int:
+        return int(self.time.shape[0])
+
+    @classmethod
+    def zeros(cls, nr: int, nd: int) -> "Obs":
+        z = lambda: np.zeros(nr)
+        return cls(time=z(), obsz=z(), obslon=z(), obslat=z(), vpz=z(),
+                   vplon=z(), vplat=z(), tpz=z(), tplon=z(), tplat=z(),
+                   rad=np.zeros((nr, nd)), tau=np.zeros((nr, nd)))
+
+    def copy(self) -> "Obs":
+        return Obs(*(np.array(getattr(self, f.name)) for f in
+                     __import__("dataclasses").fields(Obs)))
+
+
+def read_atm(path: str | Path, ctl: Ctl) -> Atm:
+    """Read atmospheric data (read_atm, jurassic.c:882-916)."""
+    path = Path(path)
+    print(f"Read atmospheric data: {path}")
+    rows = []
+    ncol = 6 + ctl.ng + ctl.nw
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) < ncol:
+                continue
+            try:
+                row = [float(t) for t in toks[:ncol]]
+            except ValueError:
+                continue
+            rows.append(row)
+    if not rows:
+        raise ValueError(f"Could not read any data from {path}!")
+    if len(rows) > NP_MAX:
+        raise ValueError("Too many data points!")
+    a = np.array(rows)
+    return Atm(
+        time=a[:, 0], z=a[:, 1], lon=a[:, 2], lat=a[:, 3], p=a[:, 4],
+        t=a[:, 5],
+        q=a[:, 6:6 + ctl.ng].T.copy(),
+        k=a[:, 6 + ctl.ng:6 + ctl.ng + ctl.nw].T.copy(),
+    )
+
+
+def write_atm(path: str | Path, ctl: Ctl, atm: Atm) -> None:
+    """Write atmospheric data (write_atm, jurassic.c:1249-1277)."""
+    path = Path(path)
+    print(f"Write atmospheric data: {path}")
+    with open(path, "w") as out:
+        out.write(
+            "# $1 = time (seconds since 2000-01-01T00:00Z)\n"
+            "# $2 = altitude [km]\n"
+            "# $3 = longitude [deg]\n"
+            "# $4 = latitude [deg]\n"
+            "# $5 = pressure [hPa]\n"
+            "# $6 = temperature [K]\n")
+        n = 6
+        for ig in range(ctl.ng):
+            n += 1
+            out.write(f"# ${n} = {ctl.emitter[ig]} volume mixing ratio\n")
+        for iw in range(ctl.nw):
+            n += 1
+            out.write(f"# ${n} = window {iw}: extinction [1/km]\n")
+        for ip in range(atm.npts):
+            if ip == 0 or atm.time[ip] != atm.time[ip - 1]:
+                out.write("\n")
+            out.write("%.2f %s %s %s %s %s" % (
+                atm.time[ip], _fmt_g(atm.z[ip]), _fmt_g(atm.lon[ip]),
+                _fmt_g(atm.lat[ip]), _fmt_g(atm.p[ip]), _fmt_g(atm.t[ip])))
+            for ig in range(ctl.ng):
+                out.write(" " + _fmt_g(atm.q[ig, ip]))
+            for iw in range(ctl.nw):
+                out.write(" " + _fmt_g(atm.k[iw, ip]))
+            out.write("\n")
+
+
+def read_obs(path: str | Path, ctl: Ctl) -> Obs:
+    """Read observation data (read_obs, jurassic.c:1041-1068)."""
+    path = Path(path)
+    print(f"Read observation data: {path}")
+    rows = []
+    ncol = 10 + 2 * ctl.nd
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) < ncol:
+                continue
+            try:
+                row = [float(t) for t in toks[:ncol]]
+            except ValueError:
+                continue
+            rows.append(row)
+    if not rows:
+        raise ValueError(f"Could not read any data from {path}!")
+    if len(rows) > NR_MAX:
+        raise ValueError("Too many rays!")
+    a = np.array(rows)
+    nd = ctl.nd
+    return Obs(
+        time=a[:, 0], obsz=a[:, 1], obslon=a[:, 2], obslat=a[:, 3],
+        vpz=a[:, 4], vplon=a[:, 5], vplat=a[:, 6],
+        tpz=a[:, 7], tplon=a[:, 8], tplat=a[:, 9],
+        rad=a[:, 10:10 + nd].copy(), tau=a[:, 10 + nd:10 + 2 * nd].copy(),
+    )
+
+
+def write_obs(path: str | Path, ctl: Ctl, obs: Obs) -> None:
+    """Write observation data (write_obs, jurassic.c:1426-1470)."""
+    path = Path(path)
+    print(f"Write observation data: {path}")
+    with open(path, "w") as out:
+        out.write(
+            "# $1 = time (seconds since 2000-01-01T00:00Z)\n"
+            "# $2 = observer altitude [km]\n"
+            "# $3 = observer longitude [deg]\n"
+            "# $4 = observer latitude [deg]\n"
+            "# $5 = view point altitude [km]\n"
+            "# $6 = view point longitude [deg]\n"
+            "# $7 = view point latitude [deg]\n"
+            "# $8 = tangent point altitude [km]\n"
+            "# $9 = tangent point longitude [deg]\n"
+            "# $10 = tangent point latitude [deg]\n")
+        n = 10
+        rad_or_bt = ("brightness temperature [K]" if ctl.write_bbt
+                     else "radiance [W/(m^2 sr cm^-1)]")
+        for idx in range(ctl.nd):
+            n += 1
+            out.write(f"# ${n} = channel {_fmt_g(ctl.nu[idx])}: {rad_or_bt}\n")
+        for idx in range(ctl.nd):
+            n += 1
+            if ctl.nd < 65 or idx < 1 or idx > ctl.nd - 2:
+                out.write(f"# ${n} = channel {_fmt_g(ctl.nu[idx])}: transmittance\n")
+            elif idx == 1:
+                out.write(f"# ${n} through ${n + ctl.nd - 3} transmittance\n")
+        for ir in range(obs.nr):
+            if ir == 0 or (NR_MAX > 1 and obs.time[ir] != obs.time[ir - 1]):
+                out.write("\n")
+            out.write("%.2f %s %s %s %s %s %s %s %s %s" % (
+                obs.time[ir],
+                _fmt_g(obs.obsz[ir]), _fmt_g(obs.obslon[ir]), _fmt_g(obs.obslat[ir]),
+                _fmt_g(obs.vpz[ir]), _fmt_g(obs.vplon[ir]), _fmt_g(obs.vplat[ir]),
+                _fmt_g(obs.tpz[ir]), _fmt_g(obs.tplon[ir]), _fmt_g(obs.tplat[ir])))
+            for idx in range(ctl.nd):
+                out.write(" " + _fmt_g(obs.rad[ir, idx]))
+            for idx in range(ctl.nd):
+                out.write(" " + _fmt_g(obs.tau[ir, idx]))
+            out.write("\n")
+
+
+def read_shape(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Read a 2-column shape function (read_shape, jurassic.c:1134-1150)."""
+    path = Path(path)
+    print(f"Read shape function: {path}")
+    xs, ys = [], []
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) >= 2:
+                try:
+                    x, y = float(toks[0]), float(toks[1])
+                except ValueError:
+                    continue
+                xs.append(x)
+                ys.append(y)
+    if not xs:
+        raise ValueError(f"Could not read any data from {path}!")
+    return np.array(xs), np.array(ys)

@@ -1,0 +1,29 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware, and with x64 enabled so the exact-mode
+oracle matches the reference's double-precision semantics.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+REF = Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def ref_example() -> Path:
+    if not REF.exists():
+        pytest.skip("reference checkout not available")
+    return REF / "example"
