@@ -1,0 +1,293 @@
+"""Emissivity-growth look-up tables: ASCII parser, padded dense arrays,
+binary cache, source-function table, and fast-mode (log-uniform) resampling.
+
+Data model mirrors tbl_t (jurassic.h:387-425) with runtime shapes instead of
+compile-time maxima: ragged per-(gas,channel) tables stored in dense padded
+arrays with explicit count arrays, channel index minor-most (the lane
+dimension on TPU, mirroring the reference's coalesced channel-minor layout,
+jurassic.h:408-411).
+
+The ASCII format (init_tbl, jurassic.c:311-416): one file per
+(gas, channel) named ``<tblbase>_<nu:.4f>_<gas>.tab`` of 4-column rows
+``pressure temperature column-density emissivity``; new pressure level on
+press change, new temperature on temp change, new u entry only when both
+eps and u increase monotonically (otherwise the previous entry is
+overwritten, replicating jurassic.c:369-384).
+
+Fast mode: the reference's FAST_INVERSE_OF_U (jurassic.c:487-609) documents
+that the u grids are geometric with ratio 2^(1/6); we legitimize this by
+resampling each u-column onto an exact log-uniform grid at load time and
+precomputing the inverse mapping u(tau_od) on a log-uniform optical-depth
+grid, so all in-kernel searches collapse to index arithmetic.
+"""
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from .config import Ctl, TBLNP, TBLNS, TBLNT, TBLNU
+from .io_tab import read_shape
+from .ops.planck import source_table_from_filter, source_temperature_axis
+
+
+class EgaTables(NamedTuple):
+    """Padded dense EGA tables + counts. Axes: [G, P, T, U, D]."""
+
+    np_: np.ndarray   # [G, D] int32 pressure-level counts
+    nt: np.ndarray    # [G, P, D] int32 temperature counts
+    nu: np.ndarray    # [G, P, T, D] int32 column-density counts
+    p: np.ndarray     # [G, P, D] f64 pressure axis [hPa]
+    t: np.ndarray     # [G, P, T, D] f64 temperature axis [K]
+    u: np.ndarray     # [G, P, T, U, D] f32 column density [molec/cm^2]
+    eps: np.ndarray   # [G, P, T, U, D] f32 emissivity
+    sr: np.ndarray    # [S, D] f64 source radiance
+    st: np.ndarray    # [S] f64 source temperature axis
+
+
+class FastTables(NamedTuple):
+    """Fast-mode resampled tables: all lookups are index arithmetic.
+
+    eps is resampled onto exact log-uniform u grids
+    u_k = u0 * 2^(k/6) (per gas/p/t/channel u0), and the inverse u(eps) is
+    tabulated against a log-uniform optical-depth grid
+    s_j = -log(1-eps) with s_j = S0 * RATIO_S^j.
+    """
+
+    np_: np.ndarray        # [G, D] int32
+    nt: np.ndarray         # [G, P, D] int32
+    p: np.ndarray          # [G, P, D]
+    t: np.ndarray          # [G, P, T, D]
+    nu: np.ndarray         # [G, P, T, D] int32 (resampled grid length)
+    log2_u0: np.ndarray    # [G, P, T, D] log2 of first u grid point
+    eps: np.ndarray        # [G, P, T, K, D] f32 on log-uniform u grid
+    u_of_s: np.ndarray     # [G, P, T, S, D] f32 inverse table
+    valid: np.ndarray      # [G, P, T, D] bool corner has a usable table
+    sr: np.ndarray         # [S, D]
+    st: np.ndarray
+
+
+# Inverse-table grid: optical depth s = -log(1-eps), log-uniform
+S_GRID_N = 384
+S_MIN = 1e-7
+S_MAX = 100.0
+
+
+def table_filename(tblbase: str, nu: float, gas: str) -> Path:
+    """<tblbase>_<nu:.4f>_<gas>.tab (jurassic.c:337)."""
+    return Path(f"{tblbase}_{nu:.4f}_{gas}.tab")
+
+
+def filter_filename(tblbase: str, nu: float) -> Path:
+    """<tblbase>_<nu:.4f>.filt (jurassic.c:651)."""
+    return Path(f"{tblbase}_{nu:.4f}.filt")
+
+
+def _parse_tab_file(path: Path):
+    """Parse one 4-column LUT file into ragged nested lists, replicating the
+    index-advance rules of init_tbl (jurassic.c:355-394) including the
+    overwrite of non-monotone entries."""
+    press_blocks = []  # [(press, [(temp, [(u, eps), ...]), ...])]
+    press_old = temp_old = u_old = eps_old = -999.0
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) < 4:
+                continue
+            try:
+                press, temp, u, eps = (float(toks[0]), float(toks[1]),
+                                       float(toks[2]), float(toks[3]))
+            except ValueError:
+                continue
+            if press != press_old:
+                press_old = press
+                press_blocks.append((press, []))
+                temp_old = -999.0
+            tblocks = press_blocks[-1][1]
+            if temp != temp_old:
+                temp_old = temp
+                tblocks.append((temp, []))
+            ublock = tblocks[-1][1]
+            if (eps > eps_old and u > u_old) or not ublock:
+                eps_old, u_old = eps, u
+                ublock.append((u, eps))
+            else:
+                # non-monotone entry overwrites the last one
+                # (IDX_U unchanged, store still executed)
+                ublock[-1] = (u, eps)
+    return press_blocks
+
+
+def load_tables(ctl: Ctl, directory: str | Path = ".",
+                verbose: bool = True) -> EgaTables:
+    """Load all (gas, channel) LUTs + filter functions into padded arrays.
+
+    Missing table files leave np_[g,d] = 0 -> the gas is transparent for
+    that channel (ega_eps returns 1, jr_common.h:240-246)."""
+    directory = Path(directory)
+    G, D = ctl.ng, ctl.nd
+    ragged = {}
+    maxP = maxT = maxU = 1
+    missing = 0
+    for ig in range(G):
+        for idx in range(D):
+            fn = directory / table_filename(ctl.tblbase, ctl.nu[idx],
+                                            ctl.emitter[ig])
+            if not fn.exists():
+                missing += 1
+                continue
+            blocks = _parse_tab_file(fn)
+            if not blocks:
+                continue
+            ragged[(ig, idx)] = blocks
+            maxP = max(maxP, len(blocks))
+            for _, tb in blocks:
+                maxT = max(maxT, len(tb))
+                for _, ub in tb:
+                    maxU = max(maxU, len(ub))
+    if verbose and missing:
+        print(f"Warning! {missing} emissivity table files were not found!")
+    if maxP > TBLNP or maxT > TBLNT or maxU > TBLNU:
+        print(f"Warning! table dims ({maxP},{maxT},{maxU}) exceed reference "
+              f"capacity ({TBLNP},{TBLNT},{TBLNU})")
+
+    P, T, U = maxP, maxT, maxU
+    np_ = np.zeros((G, D), np.int32)
+    nt = np.zeros((G, P, D), np.int32)
+    nu_ = np.zeros((G, P, T, D), np.int32)
+    p = np.zeros((G, P, D))
+    t = np.zeros((G, P, T, D))
+    u = np.zeros((G, P, T, U, D), np.float32)
+    eps = np.zeros((G, P, T, U, D), np.float32)
+    for (ig, idx), blocks in ragged.items():
+        np_[ig, idx] = len(blocks)
+        for ip, (press, tb) in enumerate(blocks):
+            p[ig, ip, idx] = press
+            nt[ig, ip, idx] = len(tb)
+            for it, (temp, ub) in enumerate(tb):
+                t[ig, ip, it, idx] = temp
+                nu_[ig, ip, it, idx] = len(ub)
+                arr = np.array(ub)
+                u[ig, ip, it, :len(ub), idx] = arr[:, 0]
+                eps[ig, ip, it, :len(ub), idx] = arr[:, 1]
+
+    sr, st = load_source_table(ctl, directory)
+    return EgaTables(np_=np_, nt=nt, nu=nu_, p=p, t=t, u=u, eps=eps,
+                     sr=sr, st=st)
+
+
+def load_source_table(ctl: Ctl, directory: str | Path = "."):
+    """Planck source-function table from per-channel filter files
+    (init_tbl, jurassic.c:612-667)."""
+    directory = Path(directory)
+    st = source_temperature_axis(TBLNS)
+    sr = np.zeros((TBLNS, ctl.nd))
+    for idx in range(ctl.nd):
+        fn = directory / filter_filename(ctl.tblbase, ctl.nu[idx])
+        nu_f, f_f = read_shape(fn)
+        sr[:, idx] = source_table_from_filter(nu_f, f_f, TBLNS)
+    return sr, st
+
+
+# ---------------------------------------------------------------------------
+# Binary cache (analogue of jr_binary_tables_io.h:12-290): a single npz
+# keyed by a config hash replaces the reference's self-describing header.
+
+def cache_filename(ctl: Ctl, directory: str | Path = ".") -> Path:
+    return Path(directory) / f"jurassic_tpu_tables_{ctl.table_hash}.npz"
+
+
+def load_tables_cached(ctl: Ctl, directory: str | Path = ".",
+                       verbose: bool = True) -> EgaTables:
+    """READ_BINARY/WRITE_BINARY semantics (jurassic.c:312-320,669-671):
+    read_binary < 0 tries the cache and falls back to the ASCII parse;
+    > 0 requires it; write_binary dumps after a successful parse."""
+    cf = cache_filename(ctl, directory)
+    if ctl.read_binary and cf.exists():
+        if verbose:
+            print(f"matching binary tables file found: {cf}")
+        with np.load(cf) as f:
+            return EgaTables(**{k: f[k] for k in EgaTables._fields})
+    if ctl.read_binary > 0:
+        raise FileNotFoundError(
+            f"READ_BINARY > 0 but no cache file {cf}")
+    tbl = load_tables(ctl, directory, verbose)
+    if ctl.write_binary:
+        np.savez(cf, **tbl._asdict())
+        if verbose:
+            print(f"wrote binary tables cache: {cf}")
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# Fast-mode resampling
+
+LOG2_RATIO_U = 1.0 / 6.0  # u_k = u0 * 2^(k/6): the reference's documented
+                          # geometric u-grid (jurassic.c:518-530)
+
+
+def build_fast_tables(tbl: EgaTables, k_grid: Optional[int] = None,
+                      s_grid: int = S_GRID_N) -> FastTables:
+    """Resample eps onto exact log-uniform u grids and tabulate the inverse.
+
+    For each (g, p-level, t-level, d) with a usable table (>= 2 entries):
+
+    * forward: eps_fast[k] = interp(log2 u_k; log2 u_orig, eps_orig) on
+      u_k = u_orig[0] * 2^(k/6), covering the original range;
+    * inverse: u_of_s[j] = interp(log s_j; log s_orig, log2-index) where
+      s = -log(1 - eps) -- evaluated back through the forward grid so
+      F(F^-1(eps)) == eps up to the s-grid interpolation error only.
+    """
+    G, P, T, U, D = tbl.u.shape
+    K = k_grid or U
+    log_s = np.linspace(np.log(S_MIN), np.log(S_MAX), s_grid)
+    s_axis = np.exp(log_s)
+
+    np_ = tbl.np_.copy()
+    nt = tbl.nt.copy()
+    nu = np.zeros((G, P, T, D), np.int32)
+    log2_u0 = np.zeros((G, P, T, D))
+    eps_f = np.zeros((G, P, T, K, D), np.float32)
+    u_of_s = np.zeros((G, P, T, s_grid, D), np.float32)
+    valid = np.zeros((G, P, T, D), bool)
+
+    for ig in range(G):
+        for idx in range(D):
+            for ip in range(tbl.np_[ig, idx]):
+                for it in range(tbl.nt[ig, ip, idx]):
+                    n = tbl.nu[ig, ip, it, idx]
+                    if n < 2:
+                        continue
+                    uu = tbl.u[ig, ip, it, :n, idx].astype(np.float64)
+                    ee = tbl.eps[ig, ip, it, :n, idx].astype(np.float64)
+                    if uu[0] <= 0 or np.any(np.diff(uu) <= 0):
+                        continue
+                    l2u = np.log2(uu)
+                    l2u0 = l2u[0]
+                    # number of log-uniform points covering the range
+                    nk = min(K, int(np.floor((l2u[-1] - l2u0)
+                                             / LOG2_RATIO_U)) + 1)
+                    kk = l2u0 + np.arange(nk) * LOG2_RATIO_U
+                    eps_k = np.interp(kk, l2u, ee)
+                    # monotone non-decreasing guard for invertibility
+                    eps_k = np.maximum.accumulate(eps_k)
+                    eps_f[ig, ip, it, :nk, idx] = eps_k
+                    eps_f[ig, ip, it, nk:, idx] = eps_k[-1]
+                    log2_u0[ig, ip, it, idx] = l2u0
+                    nu[ig, ip, it, idx] = nk
+                    valid[ig, ip, it, idx] = True
+                    # inverse: fractional log-uniform index as function of s
+                    s_k = -np.log1p(-np.minimum(eps_k, 1 - 1e-15))
+                    s_k = np.maximum(s_k, 1e-300)
+                    # strictly increasing s for interp: add tiny ramp
+                    s_mono = np.maximum.accumulate(s_k)
+                    s_mono = s_mono * (1 + 1e-12 * np.arange(nk))
+                    kidx = np.interp(np.log(np.maximum(s_axis, s_mono[0])),
+                                     np.log(s_mono), np.arange(nk))
+                    u_of_s[ig, ip, it, :, idx] = (
+                        2.0 ** (l2u0 + kidx * LOG2_RATIO_U))
+    return FastTables(np_=np_, nt=nt, p=tbl.p, t=tbl.t, nu=nu,
+                      log2_u0=log2_u0, eps=eps_f, u_of_s=u_of_s,
+                      valid=valid, sr=tbl.sr, st=tbl.st)
