@@ -1,0 +1,96 @@
+"""JURASSIC forward model CLI (mirror of formod.c).
+
+Usage: ``jurassic-formod <ctl> <obs> <atm> <rad> [NAME value ...]``
+
+The reference's BENCHMARK_FORMOD block (formod.c:71-181) is available at
+runtime instead of compile time: pass ``BENCH 1`` (iterations come from
+``USETPU``^2 like the reference's useGPU^2) or ``BENCH <n>`` for an
+explicit count, with the same repeat-run deviation gate before timings
+are reported (formod.c:106-166).
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..forward import ForwardModel
+from ..io_tab import read_atm, read_obs, write_obs
+from ._common import cli_main, load_ctl
+
+
+def _compare_runs(ctl, obs_ref, obs_bench) -> int:
+    """Element-wise repeat-run comparison (formod.c:106-159): per-ray and,
+    on deviation, per-channel max-abs reports.  Returns the number of
+    deviating views (0 = bitwise reproducible)."""
+    rad_or_bt = ("brightness temperature" if ctl.write_bbt else "radiance")
+    deviations = 0
+    for axis, which in ((1, "ray"), (0, "channel")):
+        dev_tau = np.nan_to_num(obs_bench.tau - obs_ref.tau)
+        dev_rad = np.nan_to_num(obs_bench.rad - obs_ref.rad)
+        ndev_t = np.sum(np.any(dev_tau != 0, axis=axis))
+        ndev_r = np.sum(np.any(dev_rad != 0, axis=axis))
+        for name, dev, ndev in (("transmittance", dev_tau, ndev_t),
+                                (rad_or_bt, dev_rad, ndev_r)):
+            per = np.max(np.abs(dev), axis=axis)
+            for i in np.nonzero(per)[0]:
+                print(f"# deviations in {name} in {which} #{i}, "
+                      f"largest {per[i]:.1e}")
+        if ndev_t > 0 or ndev_r > 0:
+            deviations += 1
+        if deviations == 0:
+            break  # transposed report only when the first pass deviates
+    print(f"# Compare obs-results: {rad_or_bt} and transmittance for "
+          f"{obs_ref.nr} rays times {ctl.nd} channels shows"
+          f"{'' if deviations else ' no'} deviations")
+    return deviations
+
+
+@cli_main
+def main(argv=None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    ctl, s = load_ctl(argv, 5, "<ctl> <obs> <atm> <rad>")
+    obs = read_obs(argv[2], ctl)
+    atm = read_atm(argv[3], ctl)
+
+    t0 = time.perf_counter()
+    if ctl.checkmode:
+        print(f"# formod: checkmode = {ctl.checkmode}, "
+              "no actual computation is performed!")
+        write_obs(argv[4], ctl, obs)
+        return 0
+    fm = ForwardModel(ctl)
+    fm.formod(atm, obs)
+    print(f"# warm-up: {time.perf_counter() - t0:.3f} s")
+    write_obs(argv[4], ctl, obs)
+
+    bench = s.scan_int("BENCH", -1, "0")
+    if bench:
+        niter = max(1, ctl.usetpu * ctl.usetpu) if bench == 1 else bench
+        if niter > 1:
+            print(f"# always run {niter} iterations for benchmarking")
+        times = []
+        deviations = 0
+        for it in range(niter):
+            obs_b = obs.copy()
+            t0 = time.perf_counter()
+            fm.formod(atm, obs_b)
+            times.append(time.perf_counter() - t0)
+            if it == 0:
+                deviations = _compare_runs(ctl, obs, obs_b)
+            if deviations:
+                break
+        if deviations:
+            print(f"# timing results are not shown due to deviations "
+                  f"({deviations}) in obs-results!")
+        else:
+            mean = float(np.mean(times))
+            sigma = float(np.std(times))
+            print(f"# with {obs.nr} rays and {ctl.nd} channels formod took "
+                  f"{mean:g} +/- {sigma:g} seconds")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

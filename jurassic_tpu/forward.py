@@ -1,0 +1,295 @@
+"""The forward model: formod pipeline.
+
+TPU-native re-expression of the reference execution drivers
+(``formod``/``formod_CPU``, CPUdrivers.c:109-193, and ``formod_GPU``,
+GPUdrivers.cu:187-360): one jitted radiative-transfer pipeline that XLA
+compiles for the local backend.  The reference's structural tricks map as:
+
+* the 16-way kernel multiversioning over the 4-bit continuum mask
+  (jr_multiversion4gases.h) -> 4 static booleans burned into the jit trace;
+* the fused GPU kernel's block-per-ray / thread-per-channel layout
+  (jr_fusion_kernel.mv4g.cu) -> one ``lax.scan`` over the LOS axis whose
+  body is batched over [rays, channels] (rays on sublanes, channels on
+  lanes);
+* the sequential transmittance recursion (``tau_path`` loop-carried state,
+  CPUdrivers.c:66-83 "non-parallelisable") -> the scan carry
+  ``[R, G, D]``;
+* the observation mask (save_mask/apply_mask, jr_common.h:193-210) ->
+  host-side NaN bookkeeping around the jitted call.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Ctl
+from .constants import C1, C2, TAU_CUTOFF
+from .geometry import (LosData, build_ray_profiles, hydrostatic_atm,
+                       trace_rays)
+from .io_tab import Atm, Obs, read_shape
+from .ops.continua import ContinuaCoeffs, beta_ds, precompute_continua
+from .ops.ega import (EgaDeviceTables, FastDeviceTables, ega_eps_exact,
+                      ega_eps_fast)
+from .tables import (EgaTables, FastTables, build_fast_tables,
+                     load_tables_cached)
+
+
+# ---------------------------------------------------------------------------
+# Device-side table containers
+
+def ega_tables_to_device(tbl: EgaTables) -> EgaDeviceTables:
+    """Upload padded tables; payloads stay f32 (real_tblND_t, jurassic.h:387),
+    axes in f64 like the reference."""
+    return EgaDeviceTables(
+        np_=jnp.asarray(tbl.np_), nt=jnp.asarray(tbl.nt),
+        nu=jnp.asarray(tbl.nu), p=jnp.asarray(tbl.p), t=jnp.asarray(tbl.t),
+        u=jnp.asarray(tbl.u), eps=jnp.asarray(tbl.eps))
+
+
+def fast_tables_to_device(tbl: FastTables) -> FastDeviceTables:
+    return FastDeviceTables(
+        np_=jnp.asarray(tbl.np_), nt=jnp.asarray(tbl.nt),
+        p=jnp.asarray(tbl.p), t=jnp.asarray(tbl.t), nu=jnp.asarray(tbl.nu),
+        log2_u0=jnp.asarray(tbl.log2_u0), eps=jnp.asarray(tbl.eps),
+        valid=jnp.asarray(tbl.valid))
+
+
+def continua_to_device(cc: ContinuaCoeffs, dtype) -> ContinuaCoeffs:
+    return ContinuaCoeffs(*(jnp.asarray(np.asarray(f), dtype) for f in cc))
+
+
+# ---------------------------------------------------------------------------
+# Source function and brightness temperature
+
+def src_planck(sr, st, t):
+    """Table-interpolated source radiance [D] at temperature t
+    (src_planck_core, jr_common.h:221-224; locate_st index (int)(4 t)-400,
+    jr_common.h:83-84, clamped here for safety)."""
+    n = st.shape[0]
+    it = jnp.clip((4.0 * t).astype(jnp.int32) - 400, 0, n - 2)
+    t0, t1 = st[it], st[it + 1]
+    return sr[it] + (t - t0) * (sr[it + 1] - sr[it]) / (t1 - t0)
+
+
+def brightness_jnp(rad, nu):
+    """Radiance -> brightness temperature (brightness_core,
+    jr_common.h:189-190)."""
+    return C2 * nu / jnp.log1p(C1 * nu ** 3 / rad)
+
+
+# ---------------------------------------------------------------------------
+# The jitted RT integration
+
+class RtOut(NamedTuple):
+    rad: jax.Array  # [R, D]
+    tau: jax.Array  # [R, D]
+
+
+@partial(jax.jit,
+         static_argnames=("flags", "ig_co2", "ig_h2o", "use_fast", "bbt"))
+def rt_integrate(tbl, sr, st, nu, cc: ContinuaCoeffs, window, los: LosData,
+                 tsurf, flags, ig_co2, ig_h2o, use_fast, bbt) -> RtOut:
+    """Radiative-transfer integration over traced lines of sight.
+
+    The analogue of the fused GPU kernel + surface + BT kernels
+    (GPUdrivers.cu:226-240): a single ``lax.scan`` over the LOS step axis,
+    body batched over [R] rays x [D] channels, carrying
+    (rad [R,D], tau [R,D], tau_path [R,G,D]).
+
+    Args:
+      tbl: EgaDeviceTables or FastDeviceTables (selected by use_fast).
+      sr, st: source-function table [S, D] / axis [S].
+      nu: channel wavenumbers [D] (for BBT conversion).
+      cc: per-channel continuum coefficients.
+      window: [D] int32 channel->window map.
+      los: traced rays (LosData, [R, NLOS, ...]).
+      tsurf: [R] surface temperature (-999 => no surface hit).
+      flags: static (co2, h2o, n2, o2) continuum switches incl. emitter
+        presence (fourbit, CPUdrivers.c:130-134).
+      ig_co2, ig_h2o: static emitter indices (>= 0 when the matching flag
+        is set).
+      use_fast: static kernel selector.
+      bbt: static WRITE_BBT switch (radiance_to_brightness_CPU,
+        CPUdrivers.c:6-14).
+    """
+    dtype = los.p.dtype
+    R, NLOS = los.ds.shape
+    G = los.u.shape[2]
+    D = sr.shape[1]
+    ega = ega_eps_fast if use_fast else ega_eps_exact
+
+    sr_ = sr.astype(dtype)
+    st_ = st.astype(dtype)
+
+    def step(carry, inp):
+        rad, tau, tau_path = carry
+        p, t, q, k, ds, u, valid = inp
+        # extinction + continua (continua_core, jr_common.h:397-409)
+        kw = jnp.take(k, window, axis=1)                       # [R, D]
+        zq = jnp.zeros((R,), dtype)
+        q_h2o = q[:, ig_h2o] if ig_h2o >= 0 else zq
+        u_h2o = u[:, ig_h2o] if ig_h2o >= 0 else zq
+        u_co2 = u[:, ig_co2] if ig_co2 >= 0 else zq
+        bds = beta_ds(flags, cc, kw, ds[:, None], p[:, None], t[:, None],
+                      q_h2o[:, None], u_co2[:, None], u_h2o[:, None])
+        # EGA transmittance update (apply_ega_core, jr_common.h:271-280)
+        factor = jax.vmap(
+            lambda tp, tt, uu, pp: ega(tbl, tp, tt, uu, pp)
+        )(tau_path, t, u, p)                                   # [R, G, D]
+        tau_gas = jnp.prod(factor, axis=1)                     # [R, D]
+        tau_path = jnp.where(valid[:, None, None],
+                             tau_path * factor, tau_path)
+        # source term (src_planck_core) + integration (new_obs_core,
+        # jr_common.h:294-300)
+        src = jax.vmap(lambda tt: src_planck(sr_, st_, tt))(t)  # [R, D]
+        eps = 1.0 - tau_gas * jnp.exp(-bds)
+        upd = valid[:, None] & (tau_gas > TAU_CUTOFF)
+        rad = jnp.where(upd, rad + src * eps * tau, rad)
+        tau = jnp.where(upd, tau * (1.0 - eps), tau)
+        return (rad, tau, tau_path), None
+
+    init = (jnp.zeros((R, D), dtype), jnp.ones((R, D), dtype),
+            jnp.ones((R, G, D), dtype))
+    xs = (jnp.moveaxis(los.p, 1, 0), jnp.moveaxis(los.t, 1, 0),
+          jnp.moveaxis(los.q, 1, 0), jnp.moveaxis(los.k, 1, 0),
+          jnp.moveaxis(los.ds, 1, 0), jnp.moveaxis(los.u, 1, 0),
+          jnp.moveaxis(los.valid, 1, 0))
+    (rad, tau, _), _ = jax.lax.scan(step, init, xs)
+
+    # surface emission (add_surface_core, jr_common.h:228-234)
+    src_surf = jax.vmap(lambda tt: src_planck(sr_, st_, tt))(tsurf)
+    rad = jnp.where((tsurf > 0.0)[:, None], rad + src_surf * tau, rad)
+
+    if bbt:
+        rad = brightness_jnp(rad, nu.astype(dtype))
+    return RtOut(rad=rad, tau=tau)
+
+
+# ---------------------------------------------------------------------------
+# FOV convolution (formod_fov, jurassic.c:214-258)
+
+def formod_fov(ctl: Ctl, obs: Obs) -> None:
+    """Convolve rad/tau profiles with the instrument field of view.
+
+    Host-side NumPy: the convolution couples neighbouring rays within one
+    scan (same time stamp) over the +-NFOV window; O(R * NSHAPE * D)."""
+    if ctl.fov == "-":
+        return
+    from .config import NFOV
+    dz, w = read_shape(ctl.fov)
+    rad0, tau0 = obs.rad.copy(), obs.tau.copy()
+    for ir in range(obs.nr):
+        sel = [ir2 for ir2 in range(max(ir - NFOV, 0),
+                                    min(ir + 1 + NFOV, obs.nr))
+               if obs.time[ir2] == obs.time[ir]]
+        if len(sel) < 2:
+            raise ValueError("Cannot apply FOV convolution!")
+        z = obs.vpz[sel]
+        rad, tau = rad0[sel], tau0[sel]
+        zfov = obs.vpz[ir] + dz
+        # locate() on the ray-altitude grid, then linear interpolation
+        idx = np.clip(np.searchsorted(z, zfov, side="right") - 1,
+                      0, len(sel) - 2)
+        f = (zfov - z[idx]) / (z[idx + 1] - z[idx])
+        wsum = np.sum(w)
+        obs.rad[ir] = np.sum(
+            w[:, None] * (rad[idx] + f[:, None] * (rad[idx + 1] - rad[idx])),
+            axis=0) / wsum
+        obs.tau[ir] = np.sum(
+            w[:, None] * (tau[idx] + f[:, None] * (tau[idx + 1] - tau[idx])),
+            axis=0) / wsum
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+
+class ForwardModel:
+    """Loaded, device-resident forward model for one ctl configuration.
+
+    The analogue of the reference's once-per-process state: the cached
+    table upload (get_tbl, jr_common.h:61-79 / get_tbl_on_GPU,
+    GPUdrivers.cu:83-90) plus the continuum setup (CPUdrivers.c:126-134).
+    Construct once, call :meth:`formod` per observation batch.
+    """
+
+    def __init__(self, ctl: Ctl, tables: EgaTables | None = None,
+                 directory: str = ".", dtype=None):
+        self.ctl = ctl
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        if tables is None:
+            tables = load_tables_cached(ctl, directory)
+        self.tables = tables
+        self.use_fast = ctl.kernel in ("auto", "jax", "pallas", "fast")
+        if self.use_fast:
+            self.dev_tbl = fast_tables_to_device(build_fast_tables(tables))
+        else:
+            self.dev_tbl = ega_tables_to_device(tables)
+        self.sr = jnp.asarray(tables.sr)
+        self.st = jnp.asarray(tables.st)
+        self.nu = jnp.asarray(ctl.nu)
+        self.window = jnp.asarray(ctl.window, jnp.int32)
+        self.cc = continua_to_device(precompute_continua(ctl), dtype)
+        # continuum configuration (fourbit, CPUdrivers.c:126-134)
+        self.ig_co2 = ctl.emitter_index("CO2")
+        self.ig_h2o = ctl.emitter_index("H2O")
+        self.flags = (
+            ctl.ctm_co2 == 1 and self.ig_co2 >= 0,
+            ctl.ctm_h2o == 1 and self.ig_h2o >= 0,
+            ctl.ctm_n2 == 1,
+            ctl.ctm_o2 == 1,
+        )
+
+    def trace(self, atm: Atm, obs: Obs) -> LosData:
+        """Hydrostatic adjustment + ray tracing (hydrostatic1d_CPU +
+        raytrace_rays_CPU, CPUdrivers.c:89-103).  Mutates atm.p like the
+        reference."""
+        hydrostatic_atm(self.ctl, atm)
+        prof = build_ray_profiles(self.ctl, atm, obs, self.dtype)
+        obs_geo = dict(
+            obsz=jnp.asarray(obs.obsz, self.dtype),
+            obslon=jnp.asarray(obs.obslon, self.dtype),
+            obslat=jnp.asarray(obs.obslat, self.dtype),
+            vpz=jnp.asarray(obs.vpz, self.dtype),
+            vplon=jnp.asarray(obs.vplon, self.dtype),
+            vplat=jnp.asarray(obs.vplat, self.dtype))
+        return trace_rays(self.ctl, prof, obs_geo, self.dtype)
+
+    def formod(self, atm: Atm, obs: Obs) -> Obs:
+        """Full forward model (formod, CPUdrivers.c:179-193).
+
+        Fills obs.rad/obs.tau/tangent points in place and returns obs."""
+        ctl = self.ctl
+        if ctl.checkmode:
+            print(f"# formod: checkmode = {ctl.checkmode}, "
+                  "no actual computation is performed!")
+            return obs
+        mask = ~np.isfinite(obs.rad)                  # save_mask
+        los = self.trace(atm, obs)
+        out = rt_integrate(
+            self.dev_tbl, self.sr, self.st, self.nu, self.cc, self.window,
+            los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
+            self.use_fast, bool(ctl.write_bbt))
+        obs.rad = np.array(out.rad, np.float64)
+        obs.tau = np.array(out.tau, np.float64)
+        obs.tpz = np.array(los.tpz, np.float64)
+        obs.tplon = np.array(los.tplon, np.float64)
+        obs.tplat = np.array(los.tplat, np.float64)
+        formod_fov(ctl, obs)
+        obs.rad[mask] = np.nan                        # apply_mask
+        return obs
+
+
+def formod(ctl: Ctl, atm: Atm, obs: Obs, tables: EgaTables | None = None,
+           directory: str = ".", dtype=None) -> Obs:
+    """One-shot forward model (formod, CPUdrivers.c:179)."""
+    if ctl.checkmode:
+        print(f"# formod: checkmode = {ctl.checkmode}, "
+              "no actual computation is performed!")
+        return obs
+    return ForwardModel(ctl, tables, directory, dtype).formod(atm, obs)

@@ -26,8 +26,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..constants import TAU_OPAQUE
-from ..tables import LOG2_RATIO_U, S_MAX, S_MIN, S_GRID_N
+from ..tables import LOG2_RATIO_U
 
 
 def _c01(x):
@@ -163,30 +165,31 @@ class FastDeviceTables(NamedTuple):
     nu: jax.Array       # [G, P, T, D]
     log2_u0: jax.Array  # [G, P, T, D]
     eps: jax.Array      # [G, P, T, K, D]
-    u_of_s: jax.Array   # [G, P, T, S, D]
     valid: jax.Array    # [G, P, T, D] bool
 
 
-_LOG_S_MIN = float(jnp.log(S_MIN))
-_LOG_S_STEP = float((jnp.log(S_MAX) - jnp.log(S_MIN)) / (S_GRID_N - 1))
-
-
 def ega_eps_fast(tbl: FastDeviceTables, tau_path, t, u_seg, p):
-    """Fast-mode EGA factor: index arithmetic instead of searches.
+    """Fast-mode EGA factor on log-uniform resampled tables.
 
-    Same contract as :func:`ega_eps_exact`.  u positions on the exact
-    log-uniform grid, eps interpolation linear in u (matching the
-    reference's piecewise-linear tables), inversion via the log-uniform
-    optical-depth table with exact thin-limit scaling below its range.
+    Same contract as :func:`ega_eps_exact`.  The eps->u inversion
+    (get_u, jr_common.h:180-185) is a binary search on the eps row --
+    log2(K) single-element gathers instead of the exact path's O(K)
+    row compare -- with u values reconstructed analytically from the
+    log-uniform grid (no u payload).  The u->eps lookup (get_eps,
+    jr_common.h:157-177) is pure index arithmetic: the legitimized
+    FAST_INVERSE_OF_U (jurassic.c:487-609).  Interpolation stays linear
+    in u with end extrapolation, identical to the reference's ``lip``.
+
+    All four (pressure, temperature) corners are batched on one axis so
+    the search runs once over [G, 4, D]; its log2(K) steps are a rolled
+    ``fori_loop`` (compile-time friendly, the step count is tiny).
     """
     G, P, T, K, D = tbl.eps.shape
-    S = tbl.u_of_s.shape[3]
     dtype = tau_path.dtype
 
     # Flat views: single-element gathers instead of row materialization
     # (the Pallas kernel replaces these with VMEM slab caching).
     eps_flat = tbl.eps.reshape(G, P * T * K, D)
-    us_flat = tbl.u_of_s.reshape(G, P * T * S, D)
     l2u0_flat = tbl.log2_u0.reshape(G, P * T, D)
     nu_flat = tbl.nu.reshape(G, P * T, D)
     valid_flat = tbl.valid.reshape(G, P * T, D)
@@ -200,56 +203,63 @@ def ega_eps_fast(tbl: FastDeviceTables, tau_path, t, u_seg, p):
     it0 = _count_index(t_lo, nt_lo, tb, axis=1)
     it1 = _count_index(t_hi, nt_hi, tb, axis=1)
 
-    # optical depth of the accumulated emissivity: s = -log(tau_path)
-    s = -jnp.log(jnp.clip(tau_path, 1e-300, 1.0))
-    # fractional position on the log-uniform s grid
-    js = (jnp.log(jnp.maximum(s, S_MIN)) - _LOG_S_MIN) / _LOG_S_STEP
-    j0 = jnp.clip(js.astype(jnp.int32), 0, S_GRID_N - 2)
-    jf = js - j0.astype(dtype)
-    thin = s < S_MIN  # below the inverse grid: eps linear in u
+    eps_target = 1.0 - tau_path                  # [G, D]
+    ratio = jnp.asarray(2.0 ** LOG2_RATIO_U, dtype)
 
-    def corner(dp, it):
-        pc = ipr + dp
-        ipt = pc * T + it                       # [G, D] corner row index
-        l2u0 = _take1(l2u0_flat, ipt, 1).astype(dtype)
-        nk = _take1(nu_flat, ipt, 1)
-        ok = _take1(valid_flat, ipt, 1)
-        # invert: u at accumulated eps (2-element gather on the s grid)
-        base_s = ipt * S
-        ua = _take1(us_flat, base_s + j0, 1).astype(dtype)
-        ub = _take1(us_flat, base_s + j0 + 1, 1).astype(dtype)
-        u_c = ua + (ub - ua) * jf
-        u_thin = _take1(us_flat, base_s, 1).astype(dtype) * (s / S_MIN)
-        u_c = jnp.where(thin, u_thin, u_c)
-        # forward: eps at u_c + u_seg, linear-in-u on the log-uniform grid
-        u_new = u_c + u_seg[:, None].astype(dtype)
-        k = (jnp.log2(jnp.maximum(u_new, 1e-300)) - l2u0) / LOG2_RATIO_U
-        ki = jnp.clip(k.astype(jnp.int32), 0, jnp.maximum(nk - 2, 0))
-        u_lo = jnp.exp2(l2u0 + ki.astype(dtype) * LOG2_RATIO_U)
-        u_hi = u_lo * (2.0 ** LOG2_RATIO_U)
-        base_k = ipt * K
-        e_lo = _take1(eps_flat, base_k + ki, 1).astype(dtype)
-        e_hi = _take1(eps_flat, base_k + ki + 1, 1).astype(dtype)
-        eps_c = _c01(e_lo + (e_hi - e_lo) * (u_new - u_lo) / (u_hi - u_lo))
-        return eps_c, ok
+    # corner axis: [(p0,t0), (p0,t0+1), (p1,t1), (p1,t1+1)] -> [G, 4, D]
+    ipt = jnp.stack([ipr * T + it0, ipr * T + it0 + 1,
+                     (ipr + 1) * T + it1, (ipr + 1) * T + it1 + 1], axis=1)
+    l2u0 = jnp.take_along_axis(l2u0_flat, ipt, axis=1).astype(dtype)
+    nk = jnp.take_along_axis(nu_flat, ipt, axis=1)
+    ok = jnp.take_along_axis(valid_flat, ipt, axis=1)
+    base_k = ipt * K
 
-    eps00, ok00 = corner(0, it0)
-    eps01, ok01 = corner(0, it0 + 1)
-    eps10, ok10 = corner(1, it1)
-    eps11, ok11 = corner(1, it1 + 1)
+    def gather(i):
+        return jnp.take_along_axis(eps_flat, base_k + i, axis=1).astype(dtype)
+
+    target4 = jnp.broadcast_to(eps_target[:, None, :], ipt.shape)
+
+    # invert: u at accumulated eps -- locate_tbl_id (jr_common.h:117-125)
+    # as a rolled binary search over all corners at once
+    def bs_step(_, lohi):
+        lo, hi = lohi
+        active = hi > lo + 1
+        mid = (hi + lo) >> 1
+        pred = gather(mid) > target4
+        hi = jnp.where(active & pred, mid, hi)
+        lo = jnp.where(active & ~pred, mid, lo)
+        return lo, hi
+
+    n_steps = max(1, int(np.ceil(np.log2(max(K, 2)))))
+    lo, _ = jax.lax.fori_loop(
+        0, n_steps, bs_step,
+        (jnp.zeros_like(nk), jnp.maximum(nk - 1, 1)))
+    e0, e1 = gather(lo), gather(lo + 1)
+    u0 = jnp.exp2(l2u0 + lo.astype(dtype) * LOG2_RATIO_U)
+    u1 = u0 * ratio
+    u_c = _lip(e0, u0, e1, u1, target4)
+
+    # forward: eps at u_c + u_seg; u index from log2 arithmetic
+    u_new = u_c + u_seg[:, None, None].astype(dtype)
+    k = (jnp.log2(jnp.maximum(u_new, 1e-300)) - l2u0) / LOG2_RATIO_U
+    ki = jnp.clip(k.astype(jnp.int32), 0, jnp.maximum(nk - 2, 0))
+    u_lo = jnp.exp2(l2u0 + ki.astype(dtype) * LOG2_RATIO_U)
+    u_hi = u_lo * ratio
+    e_lo, e_hi = gather(ki), gather(ki + 1)
+    eps_c = _c01(_lip(u_lo, e_lo, u_hi, e_hi, u_new))      # [G, 4, D]
 
     t00 = _take1(t_lo, it0, 1).astype(dtype)
     t01 = _take1(t_lo, it0 + 1, 1).astype(dtype)
     t10 = _take1(t_hi, it1, 1).astype(dtype)
     t11 = _take1(t_hi, it1 + 1, 1).astype(dtype)
-    eps_p0 = _c01(_lip(t00, eps00, t01, eps01, tb))
-    eps_p1 = _c01(_lip(t10, eps10, t11, eps11, tb))
+    eps_p0 = _c01(_lip(t00, eps_c[:, 0], t01, eps_c[:, 1], tb))
+    eps_p1 = _c01(_lip(t10, eps_c[:, 2], t11, eps_c[:, 3], tb))
     p0 = _take1(tbl.p, ipr, 1).astype(dtype)
     p1 = _take1(tbl.p, ipr + 1, 1).astype(dtype)
     eps_t = _c01(_lip(p0, eps_p0, p1, eps_p1, jnp.broadcast_to(p, (G, D))))
 
     no_table = ((tbl.np_ < 2) | (nt_lo < 2) | (nt_hi < 2)
-                | ~ok00 | ~ok01 | ~ok10 | ~ok11)
+                | ~jnp.all(ok, axis=1))
     tau_safe = jnp.where(tau_path < TAU_OPAQUE, 1.0, tau_path)
     factor = (1.0 - eps_t) / tau_safe
     factor = jnp.where(no_table, 1.0, factor)

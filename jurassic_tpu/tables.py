@@ -48,12 +48,17 @@ class EgaTables(NamedTuple):
 
 
 class FastTables(NamedTuple):
-    """Fast-mode resampled tables: all lookups are index arithmetic.
+    """Fast-mode resampled tables: u-axis positions are index arithmetic.
 
-    eps is resampled onto exact log-uniform u grids
-    u_k = u0 * 2^(k/6) (per gas/p/t/channel u0), and the inverse u(eps) is
-    tabulated against a log-uniform optical-depth grid
-    s_j = -log(1-eps) with s_j = S0 * RATIO_S^j.
+    eps is resampled onto exact log-uniform u grids u_k = u0 * 2^(k/6)
+    (per gas/p/t/channel u0).  The u payload disappears entirely — u
+    values are reconstructed analytically from (log2_u0, k) — so the
+    table footprint is HALF the reference's u+eps pair
+    (jurassic.h:404-411).  The eps->u inversion (get_u,
+    jr_common.h:180-185) stays a binary search on the eps row, exactly
+    like the reference; only the u-axis search of get_eps collapses to
+    log2 arithmetic (the legitimized FAST_INVERSE_OF_U,
+    jurassic.c:487-609).
     """
 
     np_: np.ndarray        # [G, D] int32
@@ -63,16 +68,9 @@ class FastTables(NamedTuple):
     nu: np.ndarray         # [G, P, T, D] int32 (resampled grid length)
     log2_u0: np.ndarray    # [G, P, T, D] log2 of first u grid point
     eps: np.ndarray        # [G, P, T, K, D] f32 on log-uniform u grid
-    u_of_s: np.ndarray     # [G, P, T, S, D] f32 inverse table
     valid: np.ndarray      # [G, P, T, D] bool corner has a usable table
     sr: np.ndarray         # [S, D]
     st: np.ndarray
-
-
-# Inverse-table grid: optical depth s = -log(1-eps), log-uniform
-S_GRID_N = 384
-S_MIN = 1e-7
-S_MAX = 100.0
 
 
 def table_filename(tblbase: str, nu: float, gas: str) -> Path:
@@ -228,29 +226,24 @@ LOG2_RATIO_U = 1.0 / 6.0  # u_k = u0 * 2^(k/6): the reference's documented
                           # geometric u-grid (jurassic.c:518-530)
 
 
-def build_fast_tables(tbl: EgaTables, k_grid: Optional[int] = None,
-                      s_grid: int = S_GRID_N) -> FastTables:
-    """Resample eps onto exact log-uniform u grids and tabulate the inverse.
+def build_fast_tables(tbl: EgaTables, k_grid: Optional[int] = None) -> FastTables:
+    """Resample eps onto exact log-uniform u grids u_k = u0 * 2^(k/6).
 
     For each (g, p-level, t-level, d) with a usable table (>= 2 entries):
-
-    * forward: eps_fast[k] = interp(log2 u_k; log2 u_orig, eps_orig) on
-      u_k = u_orig[0] * 2^(k/6), covering the original range;
-    * inverse: u_of_s[j] = interp(log s_j; log s_orig, log2-index) where
-      s = -log(1 - eps) -- evaluated back through the forward grid so
-      F(F^-1(eps)) == eps up to the s-grid interpolation error only.
+    eps_fast[k] = interp(log2 u_k; log2 u_orig, eps_orig), monotonized so
+    the binary-search inversion is well defined.  When the original grid
+    is itself 2^(1/6)-geometric (as the reference's FAST_INVERSE_OF_U
+    validation asserts for real tables, jurassic.c:518-530), the resample
+    reproduces the original eps values exactly.
     """
     G, P, T, U, D = tbl.u.shape
     K = k_grid or U
-    log_s = np.linspace(np.log(S_MIN), np.log(S_MAX), s_grid)
-    s_axis = np.exp(log_s)
 
     np_ = tbl.np_.copy()
     nt = tbl.nt.copy()
     nu = np.zeros((G, P, T, D), np.int32)
     log2_u0 = np.zeros((G, P, T, D))
     eps_f = np.zeros((G, P, T, K, D), np.float32)
-    u_of_s = np.zeros((G, P, T, s_grid, D), np.float32)
     valid = np.zeros((G, P, T, D), bool)
 
     for ig in range(G):
@@ -267,8 +260,8 @@ def build_fast_tables(tbl: EgaTables, k_grid: Optional[int] = None,
                     l2u = np.log2(uu)
                     l2u0 = l2u[0]
                     # number of log-uniform points covering the range
-                    nk = min(K, int(np.floor((l2u[-1] - l2u0)
-                                             / LOG2_RATIO_U)) + 1)
+                    nk = min(K, int(np.floor((l2u[-1] - l2u0) / LOG2_RATIO_U
+                                             + 1e-6)) + 1)
                     kk = l2u0 + np.arange(nk) * LOG2_RATIO_U
                     eps_k = np.interp(kk, l2u, ee)
                     # monotone non-decreasing guard for invertibility
@@ -278,16 +271,6 @@ def build_fast_tables(tbl: EgaTables, k_grid: Optional[int] = None,
                     log2_u0[ig, ip, it, idx] = l2u0
                     nu[ig, ip, it, idx] = nk
                     valid[ig, ip, it, idx] = True
-                    # inverse: fractional log-uniform index as function of s
-                    s_k = -np.log1p(-np.minimum(eps_k, 1 - 1e-15))
-                    s_k = np.maximum(s_k, 1e-300)
-                    # strictly increasing s for interp: add tiny ramp
-                    s_mono = np.maximum.accumulate(s_k)
-                    s_mono = s_mono * (1 + 1e-12 * np.arange(nk))
-                    kidx = np.interp(np.log(np.maximum(s_axis, s_mono[0])),
-                                     np.log(s_mono), np.arange(nk))
-                    u_of_s[ig, ip, it, :, idx] = (
-                        2.0 ** (l2u0 + kidx * LOG2_RATIO_U))
     return FastTables(np_=np_, nt=nt, p=tbl.p, t=tbl.t, nu=nu,
-                      log2_u0=log2_u0, eps=eps_f, u_of_s=u_of_s,
-                      valid=valid, sr=tbl.sr, st=tbl.st)
+                      log2_u0=log2_u0, eps=eps_f, valid=valid,
+                      sr=tbl.sr, st=tbl.st)
