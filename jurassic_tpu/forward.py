@@ -217,21 +217,25 @@ class ForwardModel:
     """
 
     def __init__(self, ctl: Ctl, tables: EgaTables | None = None,
-                 directory: str = ".", dtype=None):
+                 directory: str = ".", dtype=None,
+                 fast_tables: FastTables | None = None):
         self.ctl = ctl
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
-        if tables is None:
+        if tables is None and fast_tables is None:
             tables = load_tables_cached(ctl, directory)
         self.tables = tables
         self.use_fast = ctl.kernel in ("auto", "jax", "pallas", "fast")
         if self.use_fast:
-            self.dev_tbl = fast_tables_to_device(build_fast_tables(tables))
+            if fast_tables is None:
+                fast_tables = build_fast_tables(tables)
+            self.dev_tbl = fast_tables_to_device(fast_tables)
         else:
             self.dev_tbl = ega_tables_to_device(tables)
-        self.sr = jnp.asarray(tables.sr)
-        self.st = jnp.asarray(tables.st)
+        src = tables if tables is not None else fast_tables
+        self.sr = jnp.asarray(src.sr)
+        self.st = jnp.asarray(src.st)
         self.nu = jnp.asarray(ctl.nu)
         self.window = jnp.asarray(ctl.window, jnp.int32)
         self.cc = continua_to_device(precompute_continua(ctl), dtype)

@@ -276,7 +276,7 @@ def _trace_single(ctl_rayds, ctl_raydz, ctl_refrac, nlos,
 
     x0 = jnp.where(obsz > prof.zmax, entry_point(xobs), xobs)
 
-    big = jnp.asarray(1e99, dtype)
+    big = jnp.asarray(jnp.inf, dtype)  # z_low sentinel (dtype-safe 1e99)
 
     def step(carry, ip):
         (x, ex, stopped, stop_code, tsurf, z_low, z_low_idx,

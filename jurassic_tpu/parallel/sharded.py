@@ -1,0 +1,124 @@
+"""Sharded forward-model runner.
+
+The multi-chip execution driver: the TPU-native equivalent of the
+reference's per-rank GPU dispatch + lane pipelining
+(GPUdrivers.cu:262-360).  Rays are domain-decomposed over the mesh's
+``"rays"`` axis (the reference's embarrassingly parallel MPI/OpenMP ray
+batching, CPUdrivers.c:91-95); spectral channels optionally shard over
+``"chan"``.  Tables are placed once per process (get_tbl_on_GPU,
+GPUdrivers.cu:83-90 -> ``jax.device_put`` with a channel-minor
+NamedSharding) and stay resident; per-call observation data is placed
+with a rays-sharded layout so the whole jitted pipeline -- ray tracing
+AND the RT integration -- runs SPMD with no per-step collectives (the
+forward model is collective-free by construction; the mesh exists for
+table broadcast and result gather).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from ..config import Ctl
+from ..forward import ForwardModel, RtOut, formod_fov, rt_integrate
+from ..geometry import (LosData, RayProfiles, build_ray_profiles,
+                        hydrostatic_atm, trace_rays)
+from ..io_tab import Atm, Obs
+from ..tables import EgaTables
+from .mesh import (CHAN_AXIS, RAY_AXIS, chan_minor_sharding, pad_to,
+                   ray_sharding, replicated)
+
+
+def _place_tables(mesh: Mesh, model: ForwardModel) -> None:
+    """Shard the device-resident table pytree channel-minor and the
+    per-channel vectors over ``"chan"``; scalars/axes replicate."""
+    put = jax.device_put
+    model.dev_tbl = type(model.dev_tbl)(*(
+        put(leaf, chan_minor_sharding(mesh, np.ndim(leaf)))
+        for leaf in model.dev_tbl))
+    model.sr = put(model.sr, chan_minor_sharding(mesh, 2))
+    model.st = put(model.st, replicated(mesh))
+    model.nu = put(model.nu, chan_minor_sharding(mesh, 1))
+    model.window = put(model.window, chan_minor_sharding(mesh, 1))
+    model.cc = type(model.cc)(*(
+        put(leaf, chan_minor_sharding(mesh, 1)) for leaf in model.cc))
+
+
+def pad_obs(obs: Obs, r_pad: int) -> Obs:
+    """Pad the ray axis to the mesh multiple by repeating the last ray
+    (cheap, discarded after the gather; keeps every shard's geometry
+    well-posed so the tracer never sees degenerate inputs)."""
+    r = obs.nr
+    if r == r_pad:
+        return obs
+    fields = {}
+    for f in dataclasses.fields(Obs):
+        arr = np.asarray(getattr(obs, f.name))
+        reps = (r_pad - r,) + (1,) * (arr.ndim - 1)
+        fields[f.name] = np.concatenate([arr, np.tile(arr[-1:], reps)])
+    return Obs(**fields)
+
+
+class ShardedForwardModel(ForwardModel):
+    """Forward model executing SPMD over a ("rays", "chan") mesh.
+
+    Drop-in for :class:`ForwardModel`; single-device behaviour is the
+    degenerate 1x1 mesh.  Channel sharding requires ``nd`` divisible by
+    the mesh's chan extent (channels are never padded because the
+    channel set is part of the physics configuration).
+    """
+
+    def __init__(self, ctl: Ctl, mesh: Mesh, tables: EgaTables | None = None,
+                 directory: str = ".", dtype=None):
+        super().__init__(ctl, tables, directory, dtype)
+        self.mesh = mesh
+        self.n_ray_shards = mesh.shape[RAY_AXIS]
+        n_chan = mesh.shape[CHAN_AXIS]
+        if ctl.nd % n_chan != 0:
+            raise ValueError(
+                f"ND={ctl.nd} not divisible by chan mesh axis {n_chan}")
+        _place_tables(mesh, self)
+
+    def trace(self, atm: Atm, obs: Obs) -> LosData:
+        """Rays-sharded tracing: profiles and observer geometry are placed
+        with ``P("rays", ...)`` so the jitted tracer (a vmap over rays)
+        partitions over the mesh; output shardings propagate."""
+        hydrostatic_atm(self.ctl, atm)
+        prof = build_ray_profiles(self.ctl, atm, obs, self.dtype)
+        prof = RayProfiles(*(
+            jax.device_put(leaf, ray_sharding(self.mesh, np.ndim(leaf)))
+            for leaf in prof))
+        sh1 = ray_sharding(self.mesh, 1)
+        obs_geo = {
+            name: jax.device_put(
+                np.asarray(getattr(obs, name), self.dtype), sh1)
+            for name in ("obsz", "obslon", "obslat", "vpz", "vplon", "vplat")}
+        return trace_rays(self.ctl, prof, obs_geo, self.dtype)
+
+    def integrate(self, los: LosData) -> RtOut:
+        return rt_integrate(
+            self.dev_tbl, self.sr, self.st, self.nu, self.cc, self.window,
+            los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
+            self.use_fast, bool(self.ctl.write_bbt))
+
+    def formod(self, atm: Atm, obs: Obs) -> Obs:
+        ctl = self.ctl
+        if ctl.checkmode:
+            print(f"# formod: checkmode = {ctl.checkmode}, "
+                  "no actual computation is performed!")
+            return obs
+        mask = ~np.isfinite(obs.rad)                  # save_mask
+        r = obs.nr
+        obs_p = pad_obs(obs, pad_to(r, self.n_ray_shards))
+        los = self.trace(atm, obs_p)
+        out = self.integrate(los)
+        obs.rad = np.array(out.rad, np.float64)[:r]
+        obs.tau = np.array(out.tau, np.float64)[:r]
+        obs.tpz = np.array(los.tpz, np.float64)[:r]
+        obs.tplon = np.array(los.tplon, np.float64)[:r]
+        obs.tplat = np.array(los.tplat, np.float64)[:r]
+        formod_fov(ctl, obs)
+        obs.rad[mask] = np.nan                        # apply_mask
+        return obs
