@@ -228,6 +228,126 @@ def write_obs(path: str | Path, ctl: Ctl, obs: Obs) -> None:
             out.write("\n")
 
 
+def write_matrix(path: str | Path, ctl: Ctl, matrix: np.ndarray,
+                 atm: Atm, obs: Obs, rowspace: str = "y",
+                 colspace: str = "x", sort: str = "r") -> None:
+    """Write a matrix with row/column annotations (write_matrix,
+    jurassic.c:1309-1423).
+
+    rowspace/colspace: 'y' = measurement space (finite-radiance cells),
+    anything else = state space (retrieval grid points).  sort: 'r' =
+    row-major sweep with a blank line per row, else column-major.
+    Zero elements are skipped, like the reference."""
+    from .retrieval import atm2x, idx2name, obs2y
+    path = Path(path)
+    if not ctl.write_matrix:
+        return
+    print(f"Write matrix: {path}")
+    with open(path, "w") as out:
+        if rowspace[0] == "y":
+            out.write(
+                "# $1 = Row: index (measurement space)\n"
+                "# $2 = Row: channel wavenumber [cm^-1]\n"
+                "# $3 = Row: time (seconds since 2000-01-01T00:00Z)\n"
+                "# $4 = Row: view point altitude [km]\n"
+                "# $5 = Row: view point longitude [deg]\n"
+                "# $6 = Row: view point latitude [deg]\n")
+            _, rida, rira = obs2y(ctl, obs)
+            nr = rida.size
+
+            def row_info(i):
+                ir = rira[i]
+                return "%d %s %.2f %s %s %s" % (
+                    i, _fmt_g(ctl.nu[rida[i]]), obs.time[ir],
+                    _fmt_g(obs.vpz[ir]), _fmt_g(obs.vplon[ir]),
+                    _fmt_g(obs.vplat[ir]))
+        else:
+            out.write(
+                "# $1 = Row: index (state space)\n"
+                "# $2 = Row: name of quantity\n"
+                "# $3 = Row: time (seconds since 2000-01-01T00:00Z)\n"
+                "# $4 = Row: altitude [km]\n"
+                "# $5 = Row: longitude [deg]\n"
+                "# $6 = Row: latitude [deg]\n")
+            _, riqa, ripa = atm2x(ctl, atm)
+            nr = riqa.size
+
+            def row_info(i):
+                ip = ripa[i]
+                return "%d %s %.2f %s %s %s" % (
+                    i, idx2name(ctl, int(riqa[i])), atm.time[ip],
+                    _fmt_g(atm.z[ip]), _fmt_g(atm.lon[ip]),
+                    _fmt_g(atm.lat[ip]))
+        if colspace[0] == "y":
+            out.write(
+                "# $7 = Col: index (measurement space)\n"
+                "# $8 = Col: channel wavenumber [cm^-1]\n"
+                "# $9 = Col: time (seconds since 2000-01-01T00:00Z)\n"
+                "# $10 = Col: view point altitude [km]\n"
+                "# $11 = Col: view point longitude [deg]\n"
+                "# $12 = Col: view point latitude [deg]\n")
+            _, cida, cira = obs2y(ctl, obs)
+            nc = cida.size
+
+            def col_info(j):
+                ir = cira[j]
+                return "%d %s %.2f %s %s %s" % (
+                    j, _fmt_g(ctl.nu[cida[j]]), obs.time[ir],
+                    _fmt_g(obs.vpz[ir]), _fmt_g(obs.vplon[ir]),
+                    _fmt_g(obs.vplat[ir]))
+        else:
+            out.write(
+                "# $7 = Col: index (state space)\n"
+                "# $8 = Col: name of quantity\n"
+                "# $9 = Col: time (seconds since 2000-01-01T00:00Z)\n"
+                "# $10 = Col: altitude [km]\n"
+                "# $11 = Col: longitude [deg]\n"
+                "# $12 = Col: latitude [deg]\n")
+            _, ciqa, cipa = atm2x(ctl, atm)
+            nc = ciqa.size
+
+            def col_info(j):
+                ip = cipa[j]
+                return "%d %s %.2f %s %s %s" % (
+                    j, idx2name(ctl, int(ciqa[j])), atm.time[ip],
+                    _fmt_g(atm.z[ip]), _fmt_g(atm.lon[ip]),
+                    _fmt_g(atm.lat[ip]))
+        out.write("# $13 = Matrix element\n\n")
+        if sort[0] == "r":
+            for i in range(nr):
+                for j in range(nc):
+                    if matrix[i, j] != 0:
+                        out.write(f"{row_info(i)} {col_info(j)} "
+                                  f"{_fmt_g(matrix[i, j])}\n")
+                out.write("\n")
+        else:
+            for j in range(nc):
+                for i in range(nr):
+                    if matrix[i, j] != 0:
+                        out.write(f"{row_info(i)} {col_info(j)} "
+                                  f"{_fmt_g(matrix[i, j])}\n")
+                out.write("\n")
+
+
+def read_matrix(path: str | Path, shape: tuple[int, int]) -> np.ndarray:
+    """Read a matrix written by :func:`write_matrix` (read_matrix,
+    jurassic.c:1025-1038): columns 1 and 7 are row/col indices, column 13
+    the value; unset elements are zero."""
+    path = Path(path)
+    print(f"Read matrix: {path}")
+    m = np.zeros(shape)
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) >= 13 and not line.startswith("#"):
+                try:
+                    i, j, v = int(toks[0]), int(toks[6]), float(toks[12])
+                except ValueError:
+                    continue
+                m[i, j] = v
+    return m
+
+
 def read_shape(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     """Read a 2-column shape function (read_shape, jurassic.c:1134-1150)."""
     path = Path(path)

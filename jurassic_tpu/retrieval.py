@@ -1,0 +1,238 @@
+"""Retrieval interface: state/measurement vectors and Jacobians.
+
+Re-expression of the reference's retrieval API (C19 in SURVEY.md):
+
+* state-vector pack/unpack ``atm2x``/``x2atm`` (jurassic.c:1491-1513,
+  1473-1488) selecting pressure/temperature/vmr/extinction grid points
+  inside the configured retrieval altitude ranges;
+* measurement-vector pack/unpack ``obs2y``/``y2obs``
+  (jurassic.c:1528-1541, 1516-1526) over finite radiance cells;
+* the finite-difference Jacobian ``kernel`` (jurassic.c:812-857) with the
+  reference's per-quantity perturbation sizes — the parity oracle;
+* :func:`kernel_autodiff`, the TPU-native upgrade: one ``jax.jacfwd``
+  through the jitted raytrace + RT integration, exact derivatives in a
+  single compiled pass instead of n+1 forward models.
+
+GSL vectors/matrices become plain NumPy arrays.
+"""
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional
+
+import numpy as np
+
+from .config import Ctl
+from .io_tab import Atm, Obs
+
+if TYPE_CHECKING:
+    from .forward import ForwardModel
+
+# Quantity indices (IDXP/IDXT/IDXQ/IDXK, jurassic.h:200-209)
+IDXP = 0
+IDXT = 1
+
+
+def idxq(ig: int) -> int:
+    return 2 + ig
+
+
+def idxk(ctl: Ctl, iw: int) -> int:
+    return 2 + ctl.ng + iw
+
+
+def idx2name(ctl: Ctl, idx: int) -> str:
+    """Quantity index -> name (idx2name, jurassic.c:1300-1307)."""
+    if idx == IDXP:
+        return "PRESSURE"
+    if idx == IDXT:
+        return "TEMPERATURE"
+    if 2 <= idx < 2 + ctl.ng:
+        return ctl.emitter[idx - 2]
+    if 2 + ctl.ng <= idx < 2 + ctl.ng + ctl.nw:
+        return f"EXTINCT_WINDOW{idx - 2 - ctl.ng}"
+    raise ValueError(f"Unknown quantity index {idx}")
+
+
+def _ranges(ctl: Ctl):
+    """(zmin, zmax, quantity-index) triplets in reference pack order."""
+    out = [(ctl.retp_zmin, ctl.retp_zmax, IDXP),
+           (ctl.rett_zmin, ctl.rett_zmax, IDXT)]
+    out += [(ctl.retq_zmin[ig], ctl.retq_zmax[ig], idxq(ig))
+            for ig in range(ctl.ng)]
+    out += [(ctl.retk_zmin[iw], ctl.retk_zmax[iw], idxk(ctl, iw))
+            for iw in range(ctl.nw)]
+    return out
+
+
+def _field(atm: Atm, iqa: int, ctl: Ctl) -> np.ndarray:
+    if iqa == IDXP:
+        return atm.p
+    if iqa == IDXT:
+        return atm.t
+    if iqa < 2 + ctl.ng:
+        return atm.q[iqa - 2]
+    return atm.k[iqa - 2 - ctl.ng]
+
+
+def atm2x(ctl: Ctl, atm: Atm):
+    """Pack the state vector (atm2x, jurassic.c:1491-1513).
+
+    Returns (x, iqa, ipa): values, quantity indices, grid-point indices."""
+    xs, iqas, ipas = [], [], []
+    for zmin, zmax, iqa in _ranges(ctl):
+        sel = np.nonzero((atm.z >= zmin) & (atm.z <= zmax))[0]
+        xs.append(_field(atm, iqa, ctl)[sel])
+        iqas.append(np.full(sel.size, iqa, np.int32))
+        ipas.append(sel.astype(np.int32))
+    return (np.concatenate(xs) if xs else np.zeros(0),
+            np.concatenate(iqas) if iqas else np.zeros(0, np.int32),
+            np.concatenate(ipas) if ipas else np.zeros(0, np.int32))
+
+
+def x2atm(ctl: Ctl, x: np.ndarray, atm: Atm) -> Atm:
+    """Unpack a state vector into atm in place (x2atm,
+    jurassic.c:1473-1488)."""
+    n = 0
+    for zmin, zmax, iqa in _ranges(ctl):
+        sel = np.nonzero((atm.z >= zmin) & (atm.z <= zmax))[0]
+        _field(atm, iqa, ctl)[sel] = x[n:n + sel.size]
+        n += sel.size
+    if n != x.size:
+        raise ValueError(f"State vector size mismatch: {x.size} != {n}")
+    return atm
+
+
+def obs2y(ctl: Ctl, obs: Obs):
+    """Pack the measurement vector over finite radiances (obs2y,
+    jurassic.c:1528-1541).  Returns (y, ida, ira)."""
+    finite = np.isfinite(obs.rad)                  # [R, D]
+    ira, ida = np.nonzero(finite)
+    return obs.rad[ira, ida], ida.astype(np.int32), ira.astype(np.int32)
+
+
+def y2obs(ctl: Ctl, y: np.ndarray, obs: Obs) -> Obs:
+    """Unpack a measurement vector into obs.rad in place (y2obs,
+    jurassic.c:1516-1526)."""
+    finite = np.isfinite(obs.rad)
+    if y.size != int(finite.sum()):
+        raise ValueError("Measurement vector size mismatch")
+    obs.rad[finite] = y
+    return obs
+
+
+def perturbation_sizes(ctl: Ctl, x0: np.ndarray,
+                       iqa: np.ndarray) -> np.ndarray:
+    """Reference per-quantity FD steps (kernel, jurassic.c:833-836):
+    pressure max(|1% x|, 1e-7), temperature 1 K, vmr max(|1% x|, 1e-15),
+    extinction 1e-4."""
+    h = np.empty_like(x0)
+    h[iqa == IDXP] = np.maximum(np.abs(0.01 * x0[iqa == IDXP]), 1e-7)
+    h[iqa == IDXT] = 1.0
+    isq = (iqa >= 2) & (iqa < 2 + ctl.ng)
+    h[isq] = np.maximum(np.abs(0.01 * x0[isq]), 1e-15)
+    h[iqa >= 2 + ctl.ng] = 1e-4
+    return h
+
+
+def kernel(ctl: Ctl, atm: Atm, obs: Obs,
+           model: Optional["ForwardModel"] = None) -> np.ndarray:
+    """Finite-difference Jacobian K[m, n] = d rad / d x
+    (kernel, jurassic.c:812-857): n+1 forward models, one per state
+    element, with the reference's perturbation sizes."""
+    from .forward import ForwardModel
+    if model is None:
+        model = ForwardModel(ctl)
+    model.formod(atm, obs)
+    x0, iqa, _ = atm2x(ctl, atm)
+    y0, _, _ = obs2y(ctl, obs)
+    h = perturbation_sizes(ctl, x0, iqa)
+    K = np.zeros((y0.size, x0.size))
+    for j in range(x0.size):
+        x1 = x0.copy()
+        x1[j] += h[j]
+        atm1, obs1 = atm.copy(), obs.copy()
+        x2atm(ctl, x1, atm1)
+        model.formod(atm1, obs1)
+        y1, _, _ = obs2y(ctl, obs1)
+        K[:, j] = (y1 - y0) / h[j]
+    return K
+
+
+def kernel_autodiff(ctl: Ctl, atm: Atm, obs: Obs,
+                    model: Optional["ForwardModel"] = None) -> np.ndarray:
+    """Exact Jacobian via ``jax.jacfwd`` through the jitted pipeline.
+
+    The TPU-native upgrade over the reference's n+1 forward models
+    (SURVEY.md 3.4): one compiled forward-mode pass differentiates the
+    raytrace (column densities, refraction) and the RT integration jointly.
+    Supports the accelerated path's atmosphere model (IP=1, a single
+    vertical profile shared by all rays — the device fast path,
+    jr_common.h:573,581) and HYDZ < 0 (the host-side hydrostatic rebuild
+    in NumPy is outside the traced graph; the FD :func:`kernel` covers
+    that configuration).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .forward import ForwardModel, rt_integrate
+    from .geometry import LosData, build_ray_profiles, trace_rays
+    from .geometry import _trace_rays_jit  # noqa: F401 (compiled cache)
+
+    if ctl.hydz >= 0:
+        raise NotImplementedError(
+            "kernel_autodiff requires HYDZ < 0 (host hydrostatics are "
+            "outside the traced graph); use kernel() instead")
+    if np.unique(atm.time).size != 1:
+        raise NotImplementedError(
+            "kernel_autodiff supports a single-profile atmosphere (IP=1)")
+    if model is None:
+        model = ForwardModel(ctl)
+
+    mask = ~np.isfinite(obs.rad)
+    x0, iqa, ipa = atm2x(ctl, atm)
+    dtype = model.dtype
+
+    prof0 = build_ray_profiles(ctl, atm, obs, dtype)
+    obs_geo = dict(
+        obsz=jnp.asarray(obs.obsz, dtype), obslon=jnp.asarray(obs.obslon, dtype),
+        obslat=jnp.asarray(obs.obslat, dtype), vpz=jnp.asarray(obs.vpz, dtype),
+        vplon=jnp.asarray(obs.vplon, dtype), vplat=jnp.asarray(obs.vplat, dtype))
+
+    npts = atm.npts
+
+    def fwd(x):
+        # scatter the state vector into the per-ray profile arrays: all
+        # rays share the one profile, so each x element updates one level
+        # across every ray.
+        p = jnp.asarray(atm.p, dtype)
+        t = jnp.asarray(atm.t, dtype)
+        q = jnp.asarray(atm.q, dtype)
+        k = jnp.asarray(atm.k, dtype)
+        for j in range(x0.size):
+            v = x[j]
+            ip = int(ipa[j])
+            if iqa[j] == IDXP:
+                p = p.at[ip].set(v)
+            elif iqa[j] == IDXT:
+                t = t.at[ip].set(v)
+            elif iqa[j] < 2 + ctl.ng:
+                q = q.at[int(iqa[j]) - 2, ip].set(v)
+            else:
+                k = k.at[int(iqa[j]) - 2 - ctl.ng, ip].set(v)
+        R = obs.nr
+        prof = prof0._replace(
+            z=prof0.z, nlev=prof0.nlev, zmin=prof0.zmin, zmax=prof0.zmax,
+            p=jnp.broadcast_to(p, (R, npts)),
+            t=jnp.broadcast_to(t, (R, npts)),
+            q=jnp.broadcast_to(q, (R, ctl.ng, npts)),
+            k=jnp.broadcast_to(k, (R, ctl.nw, npts)))
+        los: LosData = trace_rays(ctl, prof, obs_geo, dtype)
+        out = rt_integrate(
+            model.dev_tbl, model.sr, model.st, model.nu, model.cc,
+            model.window, los, los.tsurf, model.flags, model.ig_co2,
+            model.ig_h2o, model.use_fast, bool(ctl.write_bbt))
+        return jnp.where(jnp.asarray(mask), 0.0, out.rad)
+
+    jac = jax.jit(jax.jacfwd(fwd))(jnp.asarray(x0, dtype))  # [R, D, n]
+    finite = ~mask
+    return np.asarray(jac)[finite, :].astype(np.float64)

@@ -1,0 +1,88 @@
+"""Retrieval interface tests (C19, SURVEY.md 2.2).
+
+Pack/unpack round trips mirror atm2x/x2atm and obs2y/y2obs
+(jurassic.c:1473-1541); the finite-difference Jacobian (kernel,
+jurassic.c:812-857) is cross-validated against the autodiff Jacobian
+(jax.jacfwd through the jitted pipeline) on a synthetic workload.
+"""
+import numpy as np
+import pytest
+
+from jurassic_tpu.forward import ForwardModel
+from jurassic_tpu.io_tab import read_matrix, write_matrix
+from jurassic_tpu.models.synthetic import (limb_workload, synthetic_atm,
+                                           synthetic_ctl,
+                                           synthetic_fast_tables)
+from jurassic_tpu.retrieval import (IDXP, IDXT, atm2x, idx2name, kernel,
+                                    kernel_autodiff, obs2y, x2atm, y2obs)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctl = synthetic_ctl(ng=2, nd=4)
+    ctl.nlos = 96
+    ctl.rayds = 50.0
+    ctl.raydz = 5.0
+    # retrieve T and gas-1 vmr in a mid-altitude band, pressure nowhere
+    ctl.rett_zmin, ctl.rett_zmax = 10.0, 30.0
+    ctl.retq_zmin = [-999.0, 20.0]
+    ctl.retq_zmax = [-999.0, 40.0]
+    atm = synthetic_atm(ctl, dz=5.0)
+    obs = limb_workload(ctl, 4)
+    model = ForwardModel(ctl, fast_tables=synthetic_fast_tables(
+        ctl, n_p=12, n_t=8, n_k=96))
+    return ctl, atm, obs, model
+
+
+def test_atm2x_roundtrip(setup):
+    ctl, atm, _, _ = setup
+    x, iqa, ipa = atm2x(ctl, atm)
+    # T band: z in [10, 30] at dz=5 -> 5 levels; q[1]: [20, 40] -> 5 levels
+    assert x.size == 10
+    assert (iqa[:5] == IDXT).all() and (iqa[5:] == 3).all()
+    assert idx2name(ctl, IDXT) == "TEMPERATURE"
+    assert idx2name(ctl, 3) == ctl.emitter[1]
+    atm1 = atm.copy()
+    x2atm(ctl, x + 1.0, atm1)
+    x1, _, _ = atm2x(ctl, atm1)
+    np.testing.assert_allclose(x1, x + 1.0)
+    # untouched quantities stay put
+    np.testing.assert_array_equal(atm1.p, atm.p)
+    np.testing.assert_array_equal(atm1.q[0], atm.q[0])
+
+
+def test_obs2y_roundtrip_and_mask(setup):
+    ctl, _, obs, _ = setup
+    o = obs.copy()
+    o.rad[:] = np.arange(o.rad.size).reshape(o.rad.shape)
+    o.rad[1, 2] = np.nan                      # masked cell drops out
+    y, ida, ira = obs2y(ctl, o)
+    assert y.size == o.rad.size - 1
+    assert not np.any((ira == 1) & (ida == 2))
+    y2obs(ctl, y * 2.0, o)
+    assert o.rad[0, 0] == 0.0 and np.isnan(o.rad[1, 2])
+    assert o.rad[2, 1] == 2.0 * (2 * ctl.nd + 1)
+
+
+def test_fd_vs_autodiff_jacobian(setup):
+    ctl, atm, obs, model = setup
+    K_fd = kernel(ctl, atm.copy(), obs.copy(), model)
+    K_ad = kernel_autodiff(ctl, atm.copy(), obs.copy(), model)
+    assert K_fd.shape == K_ad.shape == (obs.nr * ctl.nd, 10)
+    scale = np.abs(K_ad).max()
+    assert scale > 0
+    # FD truncation: agree to ~1% of the dominant sensitivity
+    np.testing.assert_allclose(K_fd, K_ad, atol=2e-2 * scale, rtol=0.05)
+
+
+def test_write_read_matrix_roundtrip(tmp_path, setup):
+    ctl, atm, obs, model = setup
+    ctl.write_matrix = 1
+    obs1 = obs.copy()
+    model.formod(atm.copy(), obs1)
+    K = kernel_autodiff(ctl, atm.copy(), obs.copy(), model)
+    path = tmp_path / "matrix.tab"
+    write_matrix(path, ctl, K, atm, obs1, "y", "x", "r")
+    K2 = read_matrix(path, K.shape)
+    nz = K != 0
+    np.testing.assert_allclose(K2[nz], K[nz], rtol=1e-4)
