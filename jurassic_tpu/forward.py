@@ -169,6 +169,30 @@ def rt_integrate(tbl, sr, st, nu, cc: ContinuaCoeffs, window, los: LosData,
     return RtOut(rad=rad, tau=tau)
 
 
+@partial(jax.jit, static_argnames=("flags", "ig_co2", "ig_h2o", "bbt",
+                                   "interpret"))
+def rt_integrate_pallas(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
+                        flags, ig_co2, ig_h2o, bbt,
+                        interpret=False) -> RtOut:
+    """RT integration through the fused Pallas kernel
+    (ops/pallas/ega_fused.py): same contract as :func:`rt_integrate`.
+    Surface emission (add_surface_core, jr_common.h:228-234) and the
+    brightness conversion stay outside the kernel as cheap [R, D]
+    epilogues, mirroring the reference's separate surface/BT kernels
+    (GPUdrivers.cu:234-240)."""
+    from .ops.pallas import rt_fused_pallas
+    rad, tau = rt_fused_pallas(pt, cc_rows, los, flags, ig_co2, ig_h2o,
+                               interpret=interpret)
+    sr_ = sr.astype(jnp.float32)
+    st_ = st.astype(jnp.float32)
+    ts = tsurf.astype(jnp.float32)
+    src_surf = jax.vmap(lambda tt: src_planck(sr_, st_, tt))(ts)
+    rad = jnp.where((ts > 0.0)[:, None], rad + src_surf * tau, rad)
+    if bbt:
+        rad = brightness_jnp(rad, nu.astype(jnp.float32))
+    return RtOut(rad=rad, tau=tau)
+
+
 # ---------------------------------------------------------------------------
 # FOV convolution (formod_fov, jurassic.c:214-258)
 
@@ -227,10 +251,26 @@ class ForwardModel:
             tables = load_tables_cached(ctl, directory)
         self.tables = tables
         self.use_fast = ctl.kernel in ("auto", "jax", "pallas", "fast")
+        self.kernel_mode = "exact" if not self.use_fast else "jax"
+        self.pallas_tbl = None
         if self.use_fast:
             if fast_tables is None:
                 fast_tables = build_fast_tables(tables)
             self.dev_tbl = fast_tables_to_device(fast_tables)
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            want_pallas = (ctl.kernel == "pallas"
+                           or (ctl.kernel == "auto" and on_tpu))
+            if want_pallas:
+                from .ops.pallas import build_pallas_tables
+                self.pallas_tbl = build_pallas_tables(fast_tables)
+                if self.pallas_tbl is not None:
+                    self.kernel_mode = "pallas"
+                    self.pallas_interpret = not on_tpu
+                elif ctl.kernel == "pallas":
+                    raise ValueError(
+                        "KERNEL = pallas requires channel-uniform table "
+                        "axes per gas (build_pallas_tables returned None); "
+                        "use KERNEL = jax for ragged-across-channel tables")
         else:
             self.dev_tbl = ega_tables_to_device(tables)
         src = tables if tables is not None else fast_tables
@@ -239,6 +279,10 @@ class ForwardModel:
         self.nu = jnp.asarray(ctl.nu)
         self.window = jnp.asarray(ctl.window, jnp.int32)
         self.cc = continua_to_device(precompute_continua(ctl), dtype)
+        if self.kernel_mode == "pallas":
+            from .ops.pallas import pack_continua
+            self.cc_rows = pack_continua(
+                precompute_continua(ctl), np.asarray(ctl.window), ctl.nd)
         # continuum configuration (fourbit, CPUdrivers.c:126-134)
         self.ig_co2 = ctl.emitter_index("CO2")
         self.ig_h2o = ctl.emitter_index("H2O")
@@ -248,6 +292,20 @@ class ForwardModel:
             ctl.ctm_n2 == 1,
             ctl.ctm_o2 == 1,
         )
+
+    def integrate(self, los: LosData) -> RtOut:
+        """RT integration with the resolved kernel: the fused Pallas
+        kernel when selected (jr_fusion_kernel.mv4g.cu analogue), else
+        the jnp scan pipeline."""
+        if self.kernel_mode == "pallas":
+            return rt_integrate_pallas(
+                self.pallas_tbl, self.cc_rows, self.sr, self.st, self.nu,
+                los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
+                bool(self.ctl.write_bbt), self.pallas_interpret)
+        return rt_integrate(
+            self.dev_tbl, self.sr, self.st, self.nu, self.cc, self.window,
+            los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
+            self.use_fast, bool(self.ctl.write_bbt))
 
     def trace(self, atm: Atm, obs: Obs) -> LosData:
         """Hydrostatic adjustment + ray tracing (hydrostatic1d_CPU +
@@ -275,10 +333,7 @@ class ForwardModel:
             return obs
         mask = ~np.isfinite(obs.rad)                  # save_mask
         los = self.trace(atm, obs)
-        out = rt_integrate(
-            self.dev_tbl, self.sr, self.st, self.nu, self.cc, self.window,
-            los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
-            self.use_fast, bool(ctl.write_bbt))
+        out = self.integrate(los)
         obs.rad = np.array(out.rad, np.float64)
         obs.tau = np.array(out.tau, np.float64)
         obs.tpz = np.array(los.tpz, np.float64)

@@ -1,0 +1,486 @@
+"""Fused EGA radiative-transfer Pallas TPU kernel.
+
+The TPU-native equivalent of the reference's fused GPU kernel
+(jr_fusion_kernel.mv4g.cu:1-25, launched block-per-ray /
+thread-per-channel from GPUdrivers.cu:232): one kernel fuses the
+continuum (continua_core, jr_common.h:397-409), the EGA transmittance
+update (ega_eps + apply_ega_core, jr_common.h:238-290), the source
+function (src_planck_core, jr_common.h:221-224) and the radiative
+transfer integration (new_obs_core, jr_common.h:294-300) over the whole
+ray, with the per-gas ``tau_path`` carried in VMEM exactly like the
+reference keeps it in the register file.
+
+TPU-first structure (SURVEY.md section 7 step 6):
+
+* grid over rays; the sequential LOS recursion is an in-kernel
+  ``fori_loop`` (the reference's "non-parallelisable" ip loop,
+  CPUdrivers.c:83);
+* channels ride the 128-lane minor axis of every table row -- the
+  analogue of the reference's channel-minor coalesced layout
+  (jurassic.h:408-411) and thread-per-channel mapping;
+* the four (pressure, temperature) corner rows per gas are fetched from
+  HBM as dense [2, K, D] slabs by double-buffered async DMA with
+  one-segment lookahead (the corner bracketing is channel-independent,
+  so the fetch is computed in a jnp prologue and prefetched -- the
+  mitigation SURVEY section 7 "hard parts" #1 prescribes);
+* eps-row searches and lookups are branch-free masked reductions over
+  the VMEM-resident rows (monotone rows make extraction a masked
+  max/min), replacing the reference's per-thread binary searches
+  (locate_tbl_id, jr_common.h:117-125) -- no scattered gathers at all;
+* each row is augmented with per-lane log2(u0), axis values and a
+  validity flag, so interpolation weights and the reference's no-table
+  guards (jr_common.h:239-246) stay faithful per channel even though
+  the fetch indices are shared.
+
+Requirements: channel-uniform table *axes* per gas (all channels that
+have a table share the p/t grids -- true for tables generated on a
+common climatology grid, and validated by :func:`build_pallas_tables`,
+which returns None to signal fallback to the jnp path otherwise).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants import NA, P0, TAU_OPAQUE
+from ...tables import LOG2_RATIO_U, FastTables
+
+LANE = 128          # channel lane width
+BIG = 1.0e30        # eps-row padding sentinel (self-describing counts)
+BIG_CHK = 1.0e29    # nk = count(row < BIG_CHK)
+N_AUG = 4           # appended rows: log2_u0, t value, p value, valid
+N_SEG = 8           # packed per-segment scalars (see _pack_segments)
+N_CC = 12           # packed continuum coefficient rows
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class PallasTables(NamedTuple):
+    """Device-side tables for the fused kernel.
+
+    ``eps_aug``: [G, P*T, K_aug, Dp] float32, rows 0..K-1 the log-uniform
+    eps curve padded with BIG beyond each (cell,channel)'s count, row K
+    the per-lane log2(u0), row K+1 the temperature value, row K+2 the
+    pressure value, row K+3 the validity flag (nu>=2 & nt>=2 & resample
+    ok, the guard set of jr_common.h:241-246).
+    """
+
+    eps_aug: jax.Array    # [G, PT, K_aug, Dp] f32 (lives in HBM)
+    sr: jax.Array         # [S, Dp] f32 source radiance
+    chan_mask: jax.Array  # [G, Dp] f32 (np_ >= 2 per channel)
+    # channel-uniform axes for the prologue's corner bracketing
+    p_ax: jax.Array       # [G, P] f64
+    t_ax: jax.Array       # [G, P, T] f64
+    np_u: jax.Array       # [G] int32
+    nt_u: jax.Array       # [G, P] int32
+    k_rows: int           # K (eps rows per cell) -- static
+    d_true: int           # unpadded channel count -- static
+
+
+jax.tree_util.register_pytree_node(
+    PallasTables,
+    lambda pt: ((pt.eps_aug, pt.sr, pt.chan_mask, pt.p_ax, pt.t_ax,
+                 pt.np_u, pt.nt_u), (pt.k_rows, pt.d_true)),
+    lambda aux, ch: PallasTables(*ch, *aux))
+
+
+def build_pallas_tables(ft: FastTables) -> PallasTables | None:
+    """Pack FastTables for the kernel; None if axes are not
+    channel-uniform (per gas, over channels that have a table)."""
+    G, P, T, K, D = ft.eps.shape
+    # corner-pair DMAs read rows [ipt, ipt+2) and the (ipr+1) pressure
+    # level: pad tiny (stub) tables to P, T >= 2 with invalid rows
+    if P < 2 or T < 2:
+        P2, T2 = max(P, 2), max(T, 2)
+        pad5 = ((0, 0), (0, P2 - P), (0, T2 - T), (0, 0), (0, 0))
+        ft = ft._replace(
+            eps=np.pad(ft.eps, pad5),
+            nu=np.pad(ft.nu, pad5[:3] + pad5[4:]),
+            log2_u0=np.pad(ft.log2_u0, pad5[:3] + pad5[4:]),
+            valid=np.pad(ft.valid, pad5[:3] + pad5[4:]),
+            t=np.pad(ft.t, pad5[:3] + pad5[4:]),
+            nt=np.pad(ft.nt, (pad5[0], pad5[1], pad5[4])),
+            p=np.pad(ft.p, (pad5[0], pad5[1], pad5[4])))
+        P, T = P2, T2
+    Dp = _round_up(max(D, 1), LANE)
+    K_aug = _round_up(K + N_AUG, 8)
+
+    p_ax = np.zeros((G, P))
+    t_ax = np.zeros((G, P, T))
+    np_u = np.zeros(G, np.int32)
+    nt_u = np.zeros((G, P), np.int32)
+    for g in range(G):
+        chans = np.nonzero(ft.np_[g] >= 2)[0]
+        if chans.size == 0:
+            continue
+        d0 = chans[0]
+        np_u[g] = ft.np_[g, d0]
+        nt_u[g] = ft.nt[g, :, d0]
+        p_ax[g] = ft.p[g, :, d0]
+        t_ax[g] = ft.t[g, :, :, d0]
+        for d in chans[1:]:
+            if (ft.np_[g, d] != np_u[g]
+                    or not np.array_equal(ft.nt[g, :, d], nt_u[g])
+                    or not np.allclose(ft.p[g, :, d], p_ax[g])
+                    or not np.allclose(ft.t[g, :, :, d], t_ax[g])):
+                return None  # ragged across channels: jnp path handles it
+
+    eps_aug = np.zeros((G, P * T, K_aug, Dp), np.float32)
+    eps = ft.eps.reshape(G, P * T, K, D)
+    nu = ft.nu.reshape(G, P * T, D)
+    l2u0 = ft.log2_u0.reshape(G, P * T, D)
+    nt3 = np.repeat(ft.nt, T, axis=1)                       # [G, P*T, D]
+    valid = (ft.valid.reshape(G, P * T, D) & (nu >= 2) & (nt3 >= 2))
+    # pad beyond each cell's count with BIG so nk = count(row < BIG_CHK)
+    kk = np.arange(K)[None, None, :, None]
+    pad = kk >= nu[:, :, None, :]
+    eps_aug[:, :, :K, :D] = np.where(pad, BIG, eps)
+    eps_aug[:, :, K, :D] = l2u0
+    eps_aug[:, :, K + 1, :D] = ft.t.reshape(G, P * T, D)
+    eps_aug[:, :, K + 2, :D] = np.repeat(
+        ft.p[:, :, None, :], T, axis=2).reshape(G, P * T, D)
+    eps_aug[:, :, K + 3, :D] = valid.astype(np.float32)
+
+    chan_mask = np.zeros((G, Dp), np.float32)
+    chan_mask[:, :D] = (ft.np_ >= 2).astype(np.float32)
+    S = ft.sr.shape[0]
+    sr = np.zeros((S, Dp), np.float32)
+    sr[:, :D] = ft.sr
+
+    return PallasTables(
+        eps_aug=jnp.asarray(eps_aug), sr=jnp.asarray(sr),
+        chan_mask=jnp.asarray(chan_mask),
+        p_ax=jnp.asarray(p_ax), t_ax=jnp.asarray(t_ax),
+        np_u=jnp.asarray(np_u), nt_u=jnp.asarray(nt_u),
+        k_rows=K, d_true=D)
+
+
+def pack_continua(cc, window: np.ndarray, nd: int) -> jax.Array:
+    """Continuum coefficients as [N_CC + W, Dp] f32 rows with the band
+    masks pre-applied (continua_ctm*, jr_common.h:316-390) followed by
+    the window one-hot rows for the gray-extinction channel map."""
+    Dp = _round_up(max(nd, 1), LANE)
+    m = np.zeros((N_CC, Dp))
+    z = lambda a: np.asarray(a, np.float64)
+    m[0, :nd] = np.where(cc.co2_mask, z(cc.co2_cw296), 0)
+    m[1, :nd] = np.where(cc.co2_mask, z(cc.co2_cw260), 0)
+    m[2, :nd] = np.where(cc.co2_mask, z(cc.co2_cw230), 0)
+    m[3, :nd] = np.where(cc.h2o_mask, z(cc.h2o_cw296), 0)
+    m[4, :nd] = np.where(cc.h2o_mask, z(cc.h2o_cw260), 0)
+    m[5, :nd] = np.where(cc.h2o_mask, z(cc.h2o_ctwfrn), 0)
+    m[6, :nd] = np.where(cc.h2o_mask, z(cc.h2o_sfac), 0)
+    m[7, :nd] = np.where(cc.h2o_mask, z(cc.h2o_nu), 0)
+    m[8, :nd] = np.where(cc.n2_mask, z(cc.n2_b), 0)
+    m[9, :nd] = np.where(cc.n2_mask, z(cc.n2_beta), 0)
+    m[10, :nd] = np.where(cc.o2_mask, z(cc.o2_b), 0)
+    m[11, :nd] = np.where(cc.o2_mask, z(cc.o2_beta), 0)
+    W = int(np.max(window)) + 1 if len(window) else 1
+    oh = np.zeros((W, Dp))
+    oh[np.asarray(window, int), np.arange(nd)] = 1.0
+    return jnp.asarray(np.concatenate([m, oh], 0), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Prologue: per-(ray, segment, gas) corner bracketing (channel-independent)
+
+def _count_leq(values, counts, x):
+    """#\\{values <= x within count\\} - 1, clipped to [0, count-2]
+    (locate_id, jr_common.h:107-115) -- values on the last axis."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, values.shape,
+                                    values.ndim - 1)
+    below = (values <= x[..., None]) & (iota < counts[..., None])
+    idx = jnp.sum(below.astype(jnp.int32), axis=-1) - 1
+    return jnp.clip(idx, 0, jnp.maximum(counts - 2, 0))
+
+
+def _corner_indices(p_ax, t_ax, np_u, nt_u, p_seg, t_seg):
+    """Flat [P*T] corner-pair start indices ipt00/ipt10 per
+    (ray, segment, gas).  p_seg/t_seg: [R, S]."""
+    G, P, T = t_ax.shape
+    pb = p_seg[:, :, None]                                 # [R, S, 1]
+    tb = t_seg[:, :, None]
+    ipr = _count_leq(p_ax[None, None], np_u[None, None],
+                     jnp.broadcast_to(pb, pb.shape[:2] + (G,)))  # [R,S,G]
+    t_lo = jnp.take_along_axis(
+        t_ax[None, None], ipr[..., None, None],
+        axis=3).squeeze(3)                                 # [R, S, G, T]
+    t_hi = jnp.take_along_axis(
+        t_ax[None, None], (ipr + 1)[..., None, None], axis=3).squeeze(3)
+    nt_lo = jnp.take_along_axis(nt_u[None, None], ipr[..., None],
+                                axis=3).squeeze(3)
+    nt_hi = jnp.take_along_axis(nt_u[None, None], (ipr + 1)[..., None],
+                                axis=3).squeeze(3)
+    tg = jnp.broadcast_to(tb, tb.shape[:2] + (G,))
+    it0 = _count_leq(t_lo, nt_lo, tg)
+    it1 = _count_leq(t_hi, nt_hi, tg)
+    ipt00 = ipr * T + it0
+    ipt10 = (ipr + 1) * T + it1
+    return jnp.stack([ipt00, ipt10], axis=-1).astype(jnp.int32)
+
+
+def _pack_segments(los, ig_co2: int, ig_h2o: int):
+    """[R, S, N_SEG + W] f32: valid, p, t, ds, q_h2o, u_co2, u_h2o,
+    pad, k[0..W-1]."""
+    R, S = los.ds.shape
+    f32 = jnp.float32
+    z = jnp.zeros((R, S), f32)
+    cols = [los.valid.astype(f32), los.p.astype(f32), los.t.astype(f32),
+            los.ds.astype(f32),
+            los.q[:, :, ig_h2o].astype(f32) if ig_h2o >= 0 else z,
+            los.u[:, :, ig_co2].astype(f32) if ig_co2 >= 0 else z,
+            los.u[:, :, ig_h2o].astype(f32) if ig_h2o >= 0 else z,
+            z]
+    seg = jnp.stack(cols, axis=-1)
+    return jnp.concatenate([seg, los.k.astype(f32)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+
+def _lipg(x0, y0, x1, y1, x):
+    """lip with guarded denominator (jr_common.h:48-50)."""
+    d = x1 - x0
+    d = jnp.where(d == 0, 1.0, d)
+    return y0 + (x - x0) * (y1 - y0) / d
+
+
+def _c01(x):
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
+                 flags, ig_co2: int, ig_h2o: int, n_src: int):
+    """Build the kernel body with all shape/config statics burned in
+    (the analogue of the 16-way multiversioning, jr_multiversion4gases.h)."""
+    f_co2, f_h2o, f_n2, f_o2 = flags
+    R6 = np.float32(LOG2_RATIO_U)
+    RATIO = np.float32(2.0 ** LOG2_RATIO_U)
+    iota_k = None  # built inside (2D iota requirement)
+
+    def kernel(idx_ref, seg_ref, useg_ref, cc_ref, sr_ref, cm_ref,
+               eps_hbm, rad_ref, tau_ref, slab, sem):
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, Dp), 0)
+
+        def copies(s, buf):
+            cps = []
+            for g in range(G):
+                for c in range(2):
+                    ipt = idx_ref[0, s, g, c]
+                    cps.append(pltpu.make_async_copy(
+                        eps_hbm.at[g, pl.ds(ipt, 2)],
+                        slab.at[buf, g, pl.ds(2 * c, 2)],
+                        sem.at[buf, g, c]))
+            return cps
+
+        def start(s, buf):
+            for cp in copies(s, buf):
+                cp.start()
+
+        def wait(s, buf):
+            for cp in copies(s, buf):
+                cp.wait()
+
+        start(0, 0)
+
+        def row_lookup(row, l2u0, target, u_seg):
+            """One (p,T) corner: eps->u inversion + eps(u + u_seg)
+            re-lookup on the log-uniform grid (get_u/get_eps,
+            jr_common.h:157-185, legitimized FAST_INVERSE_OF_U)."""
+            nk = jnp.sum((row < BIG_CHK).astype(jnp.int32), axis=0)
+            nk2 = jnp.maximum(nk - 2, 0)
+            # invert: index of last eps <= target (locate_tbl_id)
+            cnt = jnp.sum((row <= target).astype(jnp.int32), axis=0)
+            i = jnp.clip(cnt - 1, 0, nk2)
+            e0 = jnp.max(jnp.where(iota_k <= i[None], row, -BIG), axis=0)
+            e1 = jnp.min(jnp.where(iota_k >= (i + 1)[None], row, BIG),
+                         axis=0)
+            fi = i.astype(jnp.float32)
+            u0 = jnp.exp2(l2u0 + fi * R6)
+            u_c = _lipg(e0, u0, e1, u0 * RATIO, target)
+            # forward: index from log2 arithmetic
+            u_new = u_c + u_seg
+            kf = (jnp.log2(jnp.maximum(u_new, 1e-37)) - l2u0) / R6
+            kf = jnp.clip(kf, 0.0, np.float32(K))
+            ki = jnp.minimum(kf.astype(jnp.int32), nk2)
+            e_lo = jnp.max(jnp.where(iota_k <= ki[None], row, -BIG), axis=0)
+            e_hi = jnp.min(jnp.where(iota_k >= (ki + 1)[None], row, BIG),
+                           axis=0)
+            fk = ki.astype(jnp.float32)
+            u_lo = jnp.exp2(l2u0 + fk * R6)
+            return _c01(_lipg(u_lo, e_lo, u_lo * RATIO, e_hi, u_new))
+
+        def body(s, carry):
+            rad, tau, tau_path = carry
+            nbuf, buf = (s + 1) % 2, s % 2
+
+            @pl.when(s + 1 < S)
+            def _():
+                start(s + 1, nbuf)
+
+            wait(s, buf)
+
+            valid_s = seg_ref[0, s, 0] > 0.0
+            p_s = seg_ref[0, s, 1]
+            t_s = seg_ref[0, s, 2]
+            ds_s = seg_ref[0, s, 3]
+            q_h2o = seg_ref[0, s, 4]
+            u_co2 = seg_ref[0, s, 5]
+            u_h2o = seg_ref[0, s, 6]
+
+            # --- continua (continua_core, jr_common.h:397-409) --------
+            kw = jnp.zeros((Dp,), jnp.float32)
+            for w in range(W):
+                kw = kw + seg_ref[0, s, N_SEG + w] * cc_ref[N_CC + w]
+            bds = kw * ds_s
+            if f_co2:
+                dt230, dt260, dt296 = t_s - 230.0, t_s - 260.0, t_s - 296.0
+                ctw = (dt260 * 5.050505e-4 * dt296 * cc_ref[2]
+                       - dt230 * 9.259259e-4 * dt296 * cc_ref[1]
+                       + dt230 * 4.208754e-4 * dt260 * cc_ref[0])
+                bds = bds + u_co2 * p_s * ctw / np.float32(NA * 1000.0 * P0)
+            if f_h2o:
+                cw296, cw260 = cc_ref[3], cc_ref[4]
+                base = jnp.where(cw296 > 0, cw260
+                                 / jnp.where(cw296 > 0, cw296, 1.0), 1.0)
+                ctwslf = cc_ref[6] * cw296 * jnp.power(
+                    base, (296.0 - t_s) / 36.0)
+                a1 = cc_ref[7] * u_h2o * jnp.tanh(0.7193876 / t_s
+                                                  * cc_ref[7])
+                a3 = p_s / np.float32(P0) * (q_h2o * ctwslf
+                                             + (1 - q_h2o) * cc_ref[5]) \
+                    * np.float32(1e-20)
+                bds = bds + a1 * (296.0 / t_s) * a3
+            if f_n2 or f_o2:
+                pp2 = (p_s / np.float32(P0)) ** 2 * (273.0 / t_s) ** 2
+                tfac = 1.0 / 296.0 - 1.0 / t_s
+                if f_n2:
+                    mix = 0.79 + 0.21 * (1.294 - 0.4545 * t_s / 296.0)
+                    bds = bds + ds_s * (0.1 * pp2 * jnp.exp(cc_ref[9] * tfac)
+                                        * 0.79 * cc_ref[8] * mix)
+                if f_o2:
+                    bds = bds + ds_s * (0.1 * pp2 * jnp.exp(cc_ref[11] * tfac)
+                                        * 0.21 * cc_ref[10])
+
+            # --- EGA per gas (apply_ega_core, jr_common.h:271-290) ----
+            tau_gas = jnp.ones((Dp,), jnp.float32)
+            new_rows = []
+            for g in range(G):
+                tp = tau_path[g]
+                target = 1.0 - tp
+                u_seg = useg_ref[0, s, g]
+                eps_c = []
+                okl = cm_ref[g]
+                for c in range(4):
+                    row = slab[buf, g, c, :K, :]
+                    l2u0 = slab[buf, g, c, K, :]
+                    eps_c.append(row_lookup(row, l2u0, target, u_seg))
+                    okl = okl * slab[buf, g, c, K + 3, :]
+                # bilinear: t within each p row, then p (jr_common.h:259-265)
+                t00 = slab[buf, g, 0, K + 1, :]
+                t01 = slab[buf, g, 1, K + 1, :]
+                t10 = slab[buf, g, 2, K + 1, :]
+                t11 = slab[buf, g, 3, K + 1, :]
+                p0 = slab[buf, g, 0, K + 2, :]
+                p1 = slab[buf, g, 2, K + 2, :]
+                eps_p0 = _c01(_lipg(t00, eps_c[0], t01, eps_c[1], t_s))
+                eps_p1 = _c01(_lipg(t10, eps_c[2], t11, eps_c[3], t_s))
+                eps_t = _c01(_lipg(p0, eps_p0, p1, eps_p1, p_s))
+                opaque = tp < np.float32(TAU_OPAQUE)
+                factor = (1.0 - eps_t) / jnp.where(opaque, 1.0, tp)
+                factor = jnp.where(okl > 0, factor, 1.0)
+                factor = jnp.where(opaque, 0.0, factor)
+                tau_gas = tau_gas * factor
+                new_rows.append(jnp.where(valid_s, tp * factor, tp))
+            tau_path = jnp.stack(new_rows, axis=0)
+
+            # --- source + integration (new_obs_core) ------------------
+            it = jnp.clip((4.0 * t_s).astype(jnp.int32) - 400, 0, n_src - 2)
+            st0 = 100.0 + 0.25 * it.astype(jnp.float32)
+            sr0 = sr_ref[it]
+            sr1 = sr_ref[it + 1]
+            src = sr0 + (t_s - st0) * (sr1 - sr0) * 4.0
+            eps_tot = 1.0 - tau_gas * jnp.exp(-bds)
+            upd = valid_s & (tau_gas > 0.0)
+            rad = jnp.where(upd, rad + src * eps_tot * tau, rad)
+            tau = jnp.where(upd, tau * (1.0 - eps_tot), tau)
+            return rad, tau, tau_path
+
+        rad0 = jnp.zeros((Dp,), jnp.float32)
+        tau0 = jnp.ones((Dp,), jnp.float32)
+        tp0 = jnp.ones((G, Dp), jnp.float32)
+        rad, tau, _ = jax.lax.fori_loop(0, S, body, (rad0, tau0, tp0))
+        rad_ref[0, 0, :] = rad
+        tau_ref[0, 0, :] = tau
+
+    return kernel
+
+
+def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
+                    ig_co2: int, ig_h2o: int,
+                    interpret: bool = False):
+    """Run the fused kernel over all rays; returns (rad, tau) [R, D] f32.
+
+    The grid iterates rays (sequential on a TPU core, pipelined block
+    fetches); surface emission and brightness conversion stay outside
+    (cheap [R, D] epilogues, like the separate surface/BT kernels,
+    GPUdrivers.cu:234-240).
+    """
+    G, PT, K_aug, Dp = pt.eps_aug.shape
+    K = pt.k_rows
+    R, S = los.ds.shape
+    W = los.k.shape[2]
+    n_src = pt.sr.shape[0]
+
+    idx = _corner_indices(
+        jnp.asarray(pt.p_ax, los.p.dtype), jnp.asarray(pt.t_ax, los.p.dtype),
+        jnp.asarray(pt.np_u), jnp.asarray(pt.nt_u), los.p, los.t)
+    seg = _pack_segments(los, ig_co2, ig_h2o)
+    useg = los.u.astype(jnp.float32)
+
+    kernel = _make_kernel(G, S, K, K_aug, Dp, W, tuple(flags),
+                          ig_co2, ig_h2o, n_src)
+
+    slab_bytes = 2 * G * 4 * K_aug * Dp * 4
+    vlim = slab_bytes + pt.sr.size * 4 + 4 * 1024 * 1024
+
+    rad, tau = pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, S, G, 2), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, N_SEG + W), lambda r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, G), lambda r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cc rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sr
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chan_mask
+            pl.BlockSpec(memory_space=pl.ANY),       # eps_aug (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Dp), lambda r: (r, 0, 0)),
+            pl.BlockSpec((1, 1, Dp), lambda r: (r, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1, Dp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, G, 4, K_aug, Dp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, G, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vlim)),
+        interpret=interpret,
+    )(idx, seg, useg, cc_rows, pt.sr, pt.chan_mask, pt.eps_aug)
+
+    D = pt.d_true
+    return rad[:, 0, :D], tau[:, 0, :D]
