@@ -17,6 +17,7 @@ import numpy as np
 
 from ..forward import ForwardModel
 from ..io_tab import read_atm, read_obs, write_obs
+from ..utils import profile_trace, timer
 from ._common import cli_main, load_ctl
 
 
@@ -54,15 +55,21 @@ def main(argv=None) -> int:
     obs = read_obs(argv[2], ctl)
     atm = read_atm(argv[3], ctl)
 
-    t0 = time.perf_counter()
     if ctl.checkmode:
         print(f"# formod: checkmode = {ctl.checkmode}, "
               "no actual computation is performed!")
         write_obs(argv[4], ctl, obs)
         return 0
-    fm = ForwardModel(ctl)
-    fm.formod(atm, obs)
-    print(f"# warm-up: {time.perf_counter() - t0:.3f} s")
+    profile_dir = s.scan("PROFILE", -1, "-")
+    with profile_trace(None if profile_dir == "-" else profile_dir):
+        # phase timers (TIMER stack, jurassic.c:1224-1246; the reference
+        # times table init, jurassic.c:322,417, and warm-up, formod.c:64)
+        timer("INIT_MODEL", 1)
+        fm = ForwardModel(ctl)
+        timer("INIT_MODEL", 3)
+        timer("WARM-UP", 1)
+        fm.formod(atm, obs)
+        timer("WARM-UP", 3)
     write_obs(argv[4], ctl, obs)
 
     bench = s.scan_int("BENCH", -1, "0")

@@ -322,6 +322,87 @@ class ForwardModel:
             vplat=jnp.asarray(obs.vplat, self.dtype))
         return trace_rays(self.ctl, prof, obs_geo, self.dtype)
 
+    def pencil_trace(self, atm: Atm, obs: Obs) -> LosData:
+        """Host "pencil" tracing for IP=2/3 (intpol_atm_2d/3d,
+        jurassic.c:704-804): straight-ray geometry over the global
+        altitude range, then the atmosphere re-sampled at every LOS
+        point with the 2D/3D interpolator.
+
+        The reference's own execution drivers reject IP != 1 outright
+        (the device interpolator asserts ip == 1, jr_common.h:573,581);
+        this path extends formod to the track/Lagrangian modes the
+        reference reserves for its retrieval library.  REFRAC must be
+        off: ray bending would need in-path (p, T) during tracing.
+        """
+        ctl = self.ctl
+        if ctl.refrac:
+            raise NotImplementedError(
+                "IP=2/3 requires REFRAC=0 (straight rays); the reference "
+                "formod does not support IP != 1 at all (jr_common.h:573)")
+        from .interp_atm import intpol_atm_geo, split_profiles
+        hydrostatic_atm(ctl, atm)
+        # geometry-only tracing: 1D dummy profiles spanning the global
+        # altitude range (values are re-sampled afterwards)
+        import dataclasses
+        first = dataclasses.replace(atm)
+        zs = np.sort(np.unique(atm.z))
+        n0 = zs.size
+        first.time = np.full(n0, atm.time[0])
+        first.z = zs
+        first.lon = np.zeros(n0)
+        first.lat = np.zeros(n0)
+        first.p = np.interp(zs, atm.z[np.argsort(atm.z)],
+                            atm.p[np.argsort(atm.z)])
+        first.t = np.full(n0, 250.0)
+        first.q = np.zeros((ctl.ng, n0))
+        first.k = np.zeros((ctl.nw, n0))
+        geo_ctl = dataclasses.replace(ctl, ip=1)
+        prof = build_ray_profiles(geo_ctl, first, obs, self.dtype)
+        obs_geo = dict(
+            obsz=jnp.asarray(obs.obsz, self.dtype),
+            obslon=jnp.asarray(obs.obslon, self.dtype),
+            obslat=jnp.asarray(obs.obslat, self.dtype),
+            vpz=jnp.asarray(obs.vpz, self.dtype),
+            vplon=jnp.asarray(obs.vplon, self.dtype),
+            vplat=jnp.asarray(obs.vplat, self.dtype))
+        los = trace_rays(geo_ctl, prof, obs_geo, self.dtype)
+        # re-sample the atmosphere along the traced paths; padded LOS
+        # points (beyond np_) carry garbage coordinates, so clamp them to
+        # the first atmosphere point before interpolating and zero their
+        # contributions afterwards
+        valid = np.asarray(los.valid, bool)
+        z = np.where(valid, np.asarray(los.z, np.float64), atm.z[0])
+        lon = np.where(valid, np.asarray(los.lon, np.float64), atm.lon[0])
+        lat = np.where(valid, np.asarray(los.lat, np.float64), atm.lat[0])
+        tp = split_profiles(atm) if ctl.ip == 2 else None
+        p, t, q, k = intpol_atm_geo(ctl, atm, z.ravel(), lon.ravel(),
+                                    lat.ravel(), tp)
+        R, S = z.shape
+        # IP=3 returns NaN outside every influence radius
+        # (jurassic.c:800-803); for the pencil forward those segments
+        # carry no data -> treat as vacuum rather than poisoning the ray
+        nodata = ~np.isfinite(t.reshape(R, S))
+        keep = valid & ~nodata
+        p = np.where(keep, p.reshape(R, S), 1e-3)
+        t = np.where(keep, t.reshape(R, S), 250.0)
+        v3 = keep[:, :, None]
+        q = np.where(v3, np.moveaxis(q.reshape(ctl.ng, R, S), 0, -1), 0.0)
+        k = np.where(v3, np.moveaxis(k.reshape(ctl.nw, R, S), 0, -1), 0.0)
+        ds = np.where(valid, np.asarray(los.ds, np.float64), 0.0)
+        from .constants import KB
+        u = 10.0 * q * p[:, :, None] / (KB * t[:, :, None]) * ds[:, :, None]
+        # surface temperature from the re-sampled boundary point
+        np_ = np.asarray(los.np_)
+        tsurf = np.asarray(los.tsurf, np.float64)
+        hit = tsurf > -998.0
+        last = np.clip(np_ - 1, 0, S - 1)
+        tsurf = np.where(hit, t[np.arange(R), last], tsurf)
+        d = self.dtype
+        return los._replace(
+            p=jnp.asarray(p, d), t=jnp.asarray(t, d), q=jnp.asarray(q, d),
+            k=jnp.asarray(k, d), u=jnp.asarray(u, d),
+            tsurf=jnp.asarray(tsurf, d))
+
     def formod(self, atm: Atm, obs: Obs) -> Obs:
         """Full forward model (formod, CPUdrivers.c:179-193).
 
@@ -332,7 +413,8 @@ class ForwardModel:
                   "no actual computation is performed!")
             return obs
         mask = ~np.isfinite(obs.rad)                  # save_mask
-        los = self.trace(atm, obs)
+        los = (self.trace(atm, obs) if ctl.ip == 1
+               else self.pencil_trace(atm, obs))
         out = self.integrate(los)
         obs.rad = np.array(out.rad, np.float64)
         obs.tau = np.array(out.tau, np.float64)

@@ -127,45 +127,45 @@ def build_ray_profiles(ctl: Ctl, atm: Atm, obs: Obs,
         raise NotImplementedError(
             "Only IP=1 (vertical profile) is supported on the accelerated "
             "path, matching the reference device path "
-            "(jr_common.h:573,581). Use forward.formod_pencil_host for "
-            "IP=2/3.")
+            "(jr_common.h:573,581). ForwardModel dispatches IP=2/3 to the "
+            "host pencil path (ForwardModel.pencil_trace) automatically.")
     nr = obs.nr
     idx = np.zeros(nr, dtype=np.int64)
     cnt = np.zeros(nr, dtype=np.int64)
+    # rays within one scan share the time stamp: bisect once per unique
+    win_cache: dict = {}
     for ir in range(nr):
-        idx[ir], cnt[ir] = locate_atm(atm.time, obs.time[ir])
+        key = float(obs.time[ir])
+        if key not in win_cache:
+            win_cache[key] = locate_atm(atm.time, key)
+        idx[ir], cnt[ir] = win_cache[key]
     L = int(cnt.max())
-    z = np.full((nr, L), 0.0)
-    p = np.zeros((nr, L))
-    t = np.full((nr, L), 1.0)
-    q = np.zeros((nr, ctl.ng, L))
-    k = np.zeros((nr, ctl.nw, L))
+
+    # vectorized window gather with clamped indices; padding beyond each
+    # window keeps the last level (and an ascending z so the interval
+    # search stays clamped)
+    ar = np.arange(L)
+    gi = np.minimum(idx[:, None] + ar, idx[:, None] + cnt[:, None] - 1)
+    pad = ar[None, :] >= cnt[:, None]
+    z = atm.z[gi] + np.where(pad, (ar[None, :] - cnt[:, None] + 1) * 1e6, 0.0)
+    p = atm.p[gi]
+    t = atm.t[gi]
+    q = np.swapaxes(atm.q[:, gi], 0, 1)          # [R, G, L]
+    k = np.swapaxes(atm.k[:, gi], 0, 1)          # [R, W, L]
+
+    # altitude_range_nn: constant-(lon,lat) leading run of each window
     zmin = np.zeros(nr)
     zmax = np.zeros(nr)
+    run_cache: dict = {}
     for ir in range(nr):
-        i0, n = idx[ir], cnt[ir]
-        sl = slice(i0, i0 + n)
-        z[ir, :n] = atm.z[sl]
-        p[ir, :n] = atm.p[sl]
-        t[ir, :n] = atm.t[sl]
-        q[ir, :, :n] = atm.q[:, sl]
-        k[ir, :, :n] = atm.k[:, sl]
-        # pad: continue ascending so interval search stays clamped
-        if n < L:
-            z[ir, n:] = z[ir, n - 1] + np.arange(1, L - n + 1) * 1e6
-            p[ir, n:] = p[ir, n - 1]
-            t[ir, n:] = t[ir, n - 1]
-            q[ir, :, n:] = q[ir, :, n - 1:n]
-            k[ir, :, n:] = k[ir, :, n - 1:n]
-        # altitude_range_nn: constant-(lon,lat) leading run of the window
-        run = n
-        for j in range(n):
-            if (atm.lon[i0 + j] != atm.lon[i0]
-                    or atm.lat[i0 + j] != atm.lat[i0]):
-                run = j
-                break
-        zmin[ir] = atm.z[i0:i0 + run].min()
-        zmax[ir] = atm.z[i0:i0 + run].max()
+        i0, n = int(idx[ir]), int(cnt[ir])
+        if (i0, n) not in run_cache:
+            diff = np.nonzero((atm.lon[i0:i0 + n] != atm.lon[i0])
+                              | (atm.lat[i0:i0 + n] != atm.lat[i0]))[0]
+            run = int(diff[0]) if diff.size else n
+            zz = atm.z[i0:i0 + run]
+            run_cache[(i0, n)] = (zz.min(), zz.max())
+        zmin[ir], zmax[ir] = run_cache[(i0, n)]
     return RayProfiles(
         z=jnp.asarray(z, dtype), p=jnp.asarray(p, dtype),
         t=jnp.asarray(t, dtype), q=jnp.asarray(q, dtype),

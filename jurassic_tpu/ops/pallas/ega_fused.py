@@ -264,15 +264,19 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
     RATIO = np.float32(2.0 ** LOG2_RATIO_U)
     iota_k = None  # built inside (2D iota requirement)
 
+    SEGW = N_SEG + W
+
     def kernel(idx_ref, seg_ref, useg_ref, cc_ref, sr_ref, cm_ref,
                eps_hbm, rad_ref, tau_ref, slab, sem):
+        # SMEM blocks are flattened [1, S*width]: small trailing dims
+        # would be tile-padded far past the SMEM budget otherwise
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, Dp), 0)
 
         def copies(s, buf):
             cps = []
             for g in range(G):
                 for c in range(2):
-                    ipt = idx_ref[0, s, g, c]
+                    ipt = idx_ref[0, 0, s * (G * 2) + g * 2 + c]
                     cps.append(pltpu.make_async_copy(
                         eps_hbm.at[g, pl.ds(ipt, 2)],
                         slab.at[buf, g, pl.ds(2 * c, 2)],
@@ -326,18 +330,19 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 
             wait(s, buf)
 
-            valid_s = seg_ref[0, s, 0] > 0.0
-            p_s = seg_ref[0, s, 1]
-            t_s = seg_ref[0, s, 2]
-            ds_s = seg_ref[0, s, 3]
-            q_h2o = seg_ref[0, s, 4]
-            u_co2 = seg_ref[0, s, 5]
-            u_h2o = seg_ref[0, s, 6]
+            sb = s * SEGW
+            valid_s = seg_ref[0, 0, sb + 0] > 0.0
+            p_s = seg_ref[0, 0, sb + 1]
+            t_s = seg_ref[0, 0, sb + 2]
+            ds_s = seg_ref[0, 0, sb + 3]
+            q_h2o = seg_ref[0, 0, sb + 4]
+            u_co2 = seg_ref[0, 0, sb + 5]
+            u_h2o = seg_ref[0, 0, sb + 6]
 
             # --- continua (continua_core, jr_common.h:397-409) --------
             kw = jnp.zeros((Dp,), jnp.float32)
             for w in range(W):
-                kw = kw + seg_ref[0, s, N_SEG + w] * cc_ref[N_CC + w]
+                kw = kw + seg_ref[0, 0, sb + N_SEG + w] * cc_ref[N_CC + w]
             bds = kw * ds_s
             if f_co2:
                 dt230, dt260, dt296 = t_s - 230.0, t_s - 260.0, t_s - 296.0
@@ -374,7 +379,7 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             for g in range(G):
                 tp = tau_path[g]
                 target = 1.0 - tp
-                u_seg = useg_ref[0, s, g]
+                u_seg = useg_ref[0, 0, s * G + g]
                 eps_c = []
                 okl = cm_ref[g]
                 for c in range(4):
@@ -454,11 +459,11 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         kernel,
         grid=(R,),
         in_specs=[
-            pl.BlockSpec((1, S, G, 2), lambda r: (r, 0, 0, 0),
+            pl.BlockSpec((1, 1, S * G * 2), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S, N_SEG + W), lambda r: (r, 0, 0),
+            pl.BlockSpec((1, 1, S * (N_SEG + W)), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S, G), lambda r: (r, 0, 0),
+            pl.BlockSpec((1, 1, S * G), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cc rows
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sr
@@ -480,7 +485,8 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vlim)),
         interpret=interpret,
-    )(idx, seg, useg, cc_rows, pt.sr, pt.chan_mask, pt.eps_aug)
+    )(idx.reshape(R, 1, S * G * 2), seg.reshape(R, 1, S * (N_SEG + W)),
+      useg.reshape(R, 1, S * G), cc_rows, pt.sr, pt.chan_mask, pt.eps_aug)
 
     D = pt.d_true
     return rad[:, 0, :D], tau[:, 0, :D]

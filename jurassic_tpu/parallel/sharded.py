@@ -71,8 +71,9 @@ class ShardedForwardModel(ForwardModel):
     """
 
     def __init__(self, ctl: Ctl, mesh: Mesh, tables: EgaTables | None = None,
-                 directory: str = ".", dtype=None):
-        super().__init__(ctl, tables, directory, dtype)
+                 directory: str = ".", dtype=None, fast_tables=None):
+        super().__init__(ctl, tables, directory, dtype,
+                         fast_tables=fast_tables)
         self.mesh = mesh
         self.n_ray_shards = mesh.shape[RAY_AXIS]
         n_chan = mesh.shape[CHAN_AXIS]

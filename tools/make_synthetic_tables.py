@@ -59,6 +59,31 @@ def write_filter(path: Path, nu: float):
         "\n".join(f"{x:.4f} {y:.3f}" for x, y in zip(grid, w)) + "\n")
 
 
+def write_table_bench(path: Path, gas_index: int, s0: float, nu: float,
+                      n_p: int = 40, n_t: int = 30, n_k: int = 224):
+    """Benchmark-grid table, bit-matching the physics of
+    jurassic_tpu.models.synthetic.synthetic_fast_tables so the reference
+    binary and the TPU build can be benchmarked on identical tables
+    (VERDICT round-1 item 2: workload-matched baseline)."""
+    p_grid = np.logspace(np.log10(3e-3), np.log10(1013.25), n_p)
+    t_grid = np.linspace(160.0, 330.0, n_t)
+    spec = 0.25 + 1.5 * abs(np.sin(nu / 97.0 + (gas_index + 1)))
+    k = np.arange(n_k)
+    su = 3e-4 * np.exp2(k / 6.0)
+    eps = 1.0 - np.exp(-np.power(su, 0.9))
+    ncut = int(np.searchsorted(eps, 1.0))        # reference parser
+    eps = eps[:max(ncut, 2)]                     # overwrites eps >= 1 rows
+    kcut = k[:max(ncut, 2)]
+    lines = []
+    for p in p_grid:
+        for t in t_grid:
+            sig = sigma(s0 * spec, p, t)
+            u = (3e-4 / sig) * np.exp2(kcut / 6.0)
+            for uu, ee in zip(u, eps):
+                lines.append(f"{p:.9e} {t:.9e} {uu:.9e} {ee:.9e}")
+    path.write_text("\n".join(lines) + "\n")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir", type=Path)
@@ -66,14 +91,20 @@ def main(argv=None):
     ap.add_argument("--gases", nargs="+", default=["CO2", "H2O", "O3"])
     ap.add_argument("--channels", nargs="+", type=float,
                     default=[792.0, 832.0])
+    ap.add_argument("--grid", choices=["golden", "bench"], default="golden",
+                    help="golden: small 12x7 grid; bench: the 40x30x224 "
+                         "benchmark grid matching synthetic_fast_tables")
     args = ap.parse_args(argv)
     args.outdir.mkdir(parents=True, exist_ok=True)
     for nu in args.channels:
         write_filter(args.outdir / f"{args.tblbase}_{nu:.4f}.filt", nu)
-        for gas in args.gases:
+        for ig, gas in enumerate(args.gases):
             s0 = GAS_S0.get(gas, 1e-21)
-            write_table(
-                args.outdir / f"{args.tblbase}_{nu:.4f}_{gas}.tab", s0, nu)
+            fn = args.outdir / f"{args.tblbase}_{nu:.4f}_{gas}.tab"
+            if args.grid == "bench":
+                write_table_bench(fn, ig, s0, nu)
+            else:
+                write_table(fn, s0, nu)
     print(f"synthetic tables written to {args.outdir}")
     return 0
 

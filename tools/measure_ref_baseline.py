@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """Measure the reference CPU binary's forward-model throughput.
 
-Runs the locally compiled reference (tools/build_reference.sh) on a
-synthetic-table limb workload sized like bench.py's default (4 gases,
-limb scan, all continua) and records rays*channels/s into
+Runs the locally compiled reference (tools/build_reference.sh) on the
+workload-matched bench.py configuration -- identical synthetic tables
+(--grid bench, the 40x30x224 grid from models/synthetic.py), identical
+1084-ray limb scan (Z0 3 Z1 68 DZ 0.06), 100 channels, 4 gases, default
+RAYDS=10/RAYDZ=0.5 -- and records rays*channels/s into
 BENCH_BASELINE.json, which bench.py uses for its ``vs_baseline`` field.
 
 Methodology: the reference timing harness is compile-time-gated
@@ -37,7 +39,7 @@ def run(cmd, cwd, env=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--channels", type=int, default=16)
+    ap.add_argument("--channels", type=int, default=100)
     ap.add_argument("--gases", nargs="+",
                     default=["CO2", "H2O", "O3", "F11"])
     ap.add_argument("--repeats", type=int, default=3)
@@ -52,7 +54,7 @@ def main():
 
     subprocess.run(
         ["python3", str(HERE / "make_synthetic_tables.py"), str(work),
-         "--tblbase", "synth", "--gases", *args.gases,
+         "--tblbase", "synth", "--grid", "bench", "--gases", *args.gases,
          "--channels", *[f"{x:.4f}" for x in nu]],
         check=True, stdout=subprocess.DEVNULL)
 
