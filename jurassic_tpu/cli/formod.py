@@ -56,6 +56,12 @@ def main(argv=None) -> int:
     atm = read_atm(argv[3], ctl)
 
     if ctl.checkmode:
+        # dry-run validation (jurassic.c:401-413, 654): report the table
+        # filename patterns per gas and validate the filter files open
+        from ..geometry import hydrostatic_atm
+        from ..tables import tables_checkmode
+        tables_checkmode(ctl, ".")
+        hydrostatic_atm(ctl, atm)
         print(f"# formod: checkmode = {ctl.checkmode}, "
               "no actual computation is performed!")
         write_obs(argv[4], ctl, obs)

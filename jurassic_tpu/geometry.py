@@ -496,10 +496,46 @@ def hydrostatic_profile(ctl_hydz: float, z: np.ndarray, p: np.ndarray,
     return p
 
 
+def hydrostatic_profile_jnp(ctl_hydz: float, z: np.ndarray, p, t, q_h2o,
+                            lat0: float):
+    """Differentiable hydrostatic rebuild (hydrostatic_1d_h2o,
+    jr_common.h:728-761) for the autodiff retrieval path.
+
+    The reference's two sequential recursions
+    ``p[ip] = p[ip∓1] * exp(-1000 * mean * (z[ip] - z[ip∓1]))`` are a
+    cumulative sum in log-pressure around the (static) reference level,
+    so the whole rebuild vectorizes to one cumsum — no ``lax.scan``
+    carry needed.  ``z``/``lat0`` are static host values; ``p``/``t``/
+    ``q_h2o`` may be traced.
+    """
+    from .constants import MM_AIR, MM_H2O, RGAS
+    z = np.asarray(z, np.float64)
+    ipref = int(np.argmin(np.abs(z - ctl_hydz)))
+    npts = 20
+    w = np.arange(npts) / (npts - 1.0)                       # [S]
+    e = jnp.zeros_like(t) if q_h2o is None else q_h2o
+    # per-layer mean of (molar mass * g / RT) sampled at npts points
+    zz = z[:-1, None] + (z[1:] - z[0:-1])[:, None] * w       # [L, S]
+    tt = t[:-1, None] + (t[1:] - t[:-1])[:, None] * w
+    ee = e[:-1, None] + (e[1:] - e[:-1])[:, None] * w
+    grav = (9.780318 * (1.0 + 0.0053024 * np.sin(lat0 * DEG2RAD) ** 2
+                        - 5.8e-6 * np.sin(2 * lat0 * DEG2RAD) ** 2)
+            - 3.086e-3 * zz)
+    mean = jnp.sum((ee * MM_H2O + (1 - ee) * MM_AIR) * grav
+                   / (RGAS * tt * npts), axis=1)             # [L]
+    inc = 1000.0 * mean * (z[1:] - z[:-1])                   # [L]
+    c = jnp.concatenate([jnp.zeros((1,), inc.dtype), jnp.cumsum(inc)])
+    logp = jnp.log(p[ipref]) - (c - c[ipref])
+    return jnp.exp(logp)
+
+
 def hydrostatic_atm(ctl: Ctl, atm: Atm) -> Atm:
     """Apply hydrostatic equilibrium to each (lon,lat,time) profile in atm
     (hydrostatic, jurassic.c:263-276)."""
     if ctl.hydz < 0:
+        return atm
+    if ctl.checkmode:
+        print("# apply hydrostatic equation to individual profiles")
         return atm
     ig_h2o = ctl.emitter_index("H2O")
     lon0 = lat0 = -999.0

@@ -95,9 +95,18 @@ class Obs:
 
 
 def read_atm(path: str | Path, ctl: Ctl) -> Atm:
-    """Read atmospheric data (read_atm, jurassic.c:882-916)."""
+    """Read atmospheric data (read_atm, jurassic.c:882-916).
+
+    Checkmode != 0 validates that the file opens, reports, and skips the
+    parse (jurassic.c:892-896)."""
     path = Path(path)
     print(f"Read atmospheric data: {path}")
+    if ctl.checkmode:
+        with open(path):
+            pass                       # existence/permission validation
+        print(f"# read_atm can read max {NP_MAX} points")
+        print(f"# read_atm found file {path} but skip")
+        return Atm.zeros(0, ctl.ng, ctl.nw)
     rows = []
     ncol = 6 + ctl.ng + ctl.nw
     with open(path) as f:
@@ -126,6 +135,10 @@ def read_atm(path: str | Path, ctl: Ctl) -> Atm:
 def write_atm(path: str | Path, ctl: Ctl, atm: Atm) -> None:
     """Write atmospheric data (write_atm, jurassic.c:1249-1277)."""
     path = Path(path)
+    if ctl.checkmode:
+        print("# skip writing target file name for atmospheric data: "
+              f"{path}")
+        return
     print(f"Write atmospheric data: {path}")
     with open(path, "w") as out:
         out.write(
@@ -156,9 +169,19 @@ def write_atm(path: str | Path, ctl: Ctl, atm: Atm) -> None:
 
 
 def read_obs(path: str | Path, ctl: Ctl) -> Obs:
-    """Read observation data (read_obs, jurassic.c:1041-1068)."""
+    """Read observation data (read_obs, jurassic.c:1041-1068).
+
+    Checkmode > 0 validates that the file opens, reports, and skips the
+    parse; checkmode < 0 ("obs" mode) still reads
+    (jurassic.c:1046-1050)."""
     path = Path(path)
     print(f"Read observation data: {path}")
+    if ctl.checkmode > 0:
+        with open(path):
+            pass                       # existence/permission validation
+        print(f"# read_obs can read max {NR_MAX} rays")
+        print(f"# read_obs found file {path} but skip")
+        return Obs.zeros(0, ctl.nd)
     rows = []
     ncol = 10 + 2 * ctl.nd
     with open(path) as f:
@@ -188,6 +211,10 @@ def read_obs(path: str | Path, ctl: Ctl) -> Obs:
 def write_obs(path: str | Path, ctl: Ctl, obs: Obs) -> None:
     """Write observation data (write_obs, jurassic.c:1426-1470)."""
     path = Path(path)
+    if ctl.checkmode:
+        print("# skip writing target file name for observation data: "
+              f"{path}")
+        return
     print(f"Write observation data: {path}")
     with open(path, "w") as out:
         out.write(
@@ -348,10 +375,19 @@ def read_matrix(path: str | Path, shape: tuple[int, int]) -> np.ndarray:
     return m
 
 
-def read_shape(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
-    """Read a 2-column shape function (read_shape, jurassic.c:1134-1150)."""
+def read_shape(path: str | Path,
+               checkmode: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Read a 2-column shape function (read_shape, jurassic.c:1134-1150).
+
+    Checkmode validates that the file opens and skips the parse
+    (jurassic.c:1138)."""
     path = Path(path)
     print(f"Read shape function: {path}")
+    if checkmode:
+        with open(path):
+            pass                       # existence/permission validation
+        print(f"# read_shape found {path}")
+        return np.zeros(0), np.zeros(0)
     xs, ys = [], []
     with open(path) as f:
         for line in f:

@@ -167,21 +167,19 @@ def kernel_autodiff(ctl: Ctl, atm: Atm, obs: Obs,
     raytrace (column densities, refraction) and the RT integration jointly.
     Supports the accelerated path's atmosphere model (IP=1, a single
     vertical profile shared by all rays — the device fast path,
-    jr_common.h:573,581) and HYDZ < 0 (the host-side hydrostatic rebuild
-    in NumPy is outside the traced graph; the FD :func:`kernel` covers
-    that configuration).
+    jr_common.h:573,581).  HYDZ >= 0 runs the differentiable
+    hydrostatic rebuild (geometry.hydrostatic_profile_jnp) inside the
+    traced graph, so pressure derivatives flow through the rebuild
+    exactly as the FD kernel sees them.
     """
     import jax
     import jax.numpy as jnp
 
     from .forward import ForwardModel, rt_integrate
-    from .geometry import LosData, build_ray_profiles, trace_rays
+    from .geometry import (LosData, build_ray_profiles,
+                           hydrostatic_profile_jnp, trace_rays)
     from .geometry import _trace_rays_jit  # noqa: F401 (compiled cache)
 
-    if ctl.hydz >= 0:
-        raise NotImplementedError(
-            "kernel_autodiff requires HYDZ < 0 (host hydrostatics are "
-            "outside the traced graph); use kernel() instead")
     if np.unique(atm.time).size != 1:
         raise NotImplementedError(
             "kernel_autodiff supports a single-profile atmosphere (IP=1)")
@@ -189,8 +187,12 @@ def kernel_autodiff(ctl: Ctl, atm: Atm, obs: Obs,
         model = ForwardModel(ctl)
 
     mask = ~np.isfinite(obs.rad)
+    from .geometry import hydrostatic_atm
+    hydrostatic_atm(ctl, atm)   # FD kernel packs x0 post-rebuild, too
     x0, iqa, ipa = atm2x(ctl, atm)
     dtype = model.dtype
+    ig_h2o = ctl.emitter_index("H2O")
+    lat_ref = float(atm.lat[int(np.argmin(np.abs(atm.z - ctl.hydz)))])
 
     prof0 = build_ray_profiles(ctl, atm, obs, dtype)
     obs_geo = dict(
@@ -200,25 +202,33 @@ def kernel_autodiff(ctl: Ctl, atm: Atm, obs: Obs,
 
     npts = atm.npts
 
+    # static per-quantity index groups -> one vectorized scatter each
+    # (O(1) graph nodes regardless of state size)
+    jidx = np.arange(x0.size)
+    selp = iqa == IDXP
+    selt = iqa == IDXT
+    selq = (iqa >= 2) & (iqa < 2 + ctl.ng)
+    selk = iqa >= 2 + ctl.ng
+
     def fwd(x):
-        # scatter the state vector into the per-ray profile arrays: all
-        # rays share the one profile, so each x element updates one level
+        # scatter the state vector into the shared profile: all rays see
+        # the one vertical profile, so each x element updates one level
         # across every ray.
         p = jnp.asarray(atm.p, dtype)
         t = jnp.asarray(atm.t, dtype)
         q = jnp.asarray(atm.q, dtype)
         k = jnp.asarray(atm.k, dtype)
-        for j in range(x0.size):
-            v = x[j]
-            ip = int(ipa[j])
-            if iqa[j] == IDXP:
-                p = p.at[ip].set(v)
-            elif iqa[j] == IDXT:
-                t = t.at[ip].set(v)
-            elif iqa[j] < 2 + ctl.ng:
-                q = q.at[int(iqa[j]) - 2, ip].set(v)
-            else:
-                k = k.at[int(iqa[j]) - 2 - ctl.ng, ip].set(v)
+        if selp.any():
+            p = p.at[ipa[selp]].set(x[jidx[selp]])
+        if selt.any():
+            t = t.at[ipa[selt]].set(x[jidx[selt]])
+        if selq.any():
+            q = q.at[iqa[selq] - 2, ipa[selq]].set(x[jidx[selq]])
+        if selk.any():
+            k = k.at[iqa[selk] - 2 - ctl.ng, ipa[selk]].set(x[jidx[selk]])
+        if ctl.hydz >= 0:
+            qh = q[ig_h2o] if ig_h2o >= 0 else None
+            p = hydrostatic_profile_jnp(ctl.hydz, atm.z, p, t, qh, lat_ref)
         R = obs.nr
         prof = prof0._replace(
             z=prof0.z, nlev=prof0.nlev, zmin=prof0.zmin, zmax=prof0.zmax,

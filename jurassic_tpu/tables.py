@@ -118,6 +118,65 @@ def _parse_tab_file(path: Path):
     return press_blocks
 
 
+def tables_checkmode(ctl: Ctl, directory: str | Path = ".") -> None:
+    """Checkmode table validation (init_tbl, jurassic.c:401-413 +
+    read_shape, jurassic.c:654): print the filename pattern each gas
+    would be initialized from, and validate the per-channel filter
+    files open without parsing anything."""
+    directory = Path(directory)
+    for ig in range(ctl.ng):
+        pattern = f"{ctl.tblbase}_<nu.4>_{ctl.emitter[ig]}.tab"
+        print(f"# try to initialize tables for gas {ig} "
+              f"{ctl.emitter[ig]} from filenames {pattern}")
+    print(f"# tables are runtime-shaped; reference capacity would be "
+          f"table[{ctl.ng} g][{TBLNP} p][{TBLNT} T][{TBLNU} u]"
+          f"[{ctl.nd} nu]")
+    for idx in range(ctl.nd):
+        fn = directory / filter_filename(ctl.tblbase, ctl.nu[idx])
+        read_shape(fn, checkmode=1)
+
+
+def table_report(ctl: Ctl, tbl: EgaTables) -> None:
+    """Table occupancy / minimal-dimension advisory / memory projection
+    (the 'jurassic.h could be configured minimally' block,
+    jurassic.c:429-484)."""
+    G, P, T, U, D = tbl.u.shape
+    np_max = int(tbl.np_.max()) if tbl.np_.size else 0
+    if np_max == 0:
+        print("# no emissivity tables loaded; skipping table report")
+        return
+    g_p, d_p = np.unravel_index(int(tbl.np_.argmax()), tbl.np_.shape)
+    nt_max = int(tbl.nt.max())
+    g_t, p_t, d_t = np.unravel_index(int(tbl.nt.argmax()), tbl.nt.shape)
+    nu_max = int(tbl.nu.max())
+    g_u, p_u, t_u, d_u = np.unravel_index(int(tbl.nu.argmax()),
+                                          tbl.nu.shape)
+    mem_used = int(tbl.nu.sum(dtype=np.int64))
+
+    from .config import ND_MAX, NG_MAX
+    print("\n# tables could be configured minimally with")
+    print(f"# NG = {ctl.ng}  \t capacity {NG_MAX}")
+    print(f"# ND = {ctl.nd}  \t capacity {ND_MAX}")
+    print(f"# TBLNP = {np_max}  \t reference {TBLNP} \t"
+          f"(gas[{g_p}]={ctl.emitter[g_p]}  nu[{d_p}]={ctl.nu[d_p]:.4f})")
+    print(f"# TBLNT = {nt_max}  \t reference {TBLNT} \t"
+          f"(gas[{g_t}]={ctl.emitter[g_t]}  nu[{d_t}]={ctl.nu[d_t]:.4f}  "
+          f"pressure[{p_t}]={tbl.p[g_t, p_t, d_t]:.2e})")
+    print(f"# TBLNU = {nu_max}  \t reference {TBLNU} \t"
+          f"(gas[{g_u}]={ctl.emitter[g_u]}  nu[{d_u}]={ctl.nu[d_u]:.4f}  "
+          f"pressure[{p_u}]={tbl.p[g_u, p_u, d_u]:.2e}  "
+          f"temperature[{t_u}]={tbl.t[g_u, p_u, t_u, d_u]:g})")
+    f = 1e-9 * tbl.u.itemsize * 2             # u + eps payload pair
+    dense = G * P * f * T * U * D
+    ref_cap = ctl.ng * TBLNP * f * TBLNT * TBLNU * ctl.nd
+    sparse = f * mem_used
+    print(f"# dense padded table arrays (u + eps) consume "
+          f"{dense:.6f} GByte")
+    print(f"# reference-capacity arrays would consume {ref_cap:.6f} GByte")
+    print(f"# with sparse storage only {sparse:.6f} GByte "
+          f"({100 * sparse / max(dense, 1e-30):.1f} %)\n")
+
+
 def load_tables(ctl: Ctl, directory: str | Path = ".",
                 verbose: bool = True) -> EgaTables:
     """Load all (gas, channel) LUTs + filter functions into padded arrays.
@@ -172,8 +231,11 @@ def load_tables(ctl: Ctl, directory: str | Path = ".",
                 eps[ig, ip, it, :len(ub), idx] = arr[:, 1]
 
     sr, st = load_source_table(ctl, directory)
-    return EgaTables(np_=np_, nt=nt, nu=nu_, p=p, t=t, u=u, eps=eps,
-                     sr=sr, st=st)
+    tbl = EgaTables(np_=np_, nt=nt, nu=nu_, p=p, t=t, u=u, eps=eps,
+                    sr=sr, st=st)
+    if verbose:
+        table_report(ctl, tbl)
+    return tbl
 
 
 def load_source_table(ctl: Ctl, directory: str | Path = "."):

@@ -69,16 +69,32 @@ def test_formod_fast_close_to_exact():
     assert np.abs(obs_fast.tau - tau_ref).max() <= 2e-3
 
 
-def test_formod_checkmode_skips_compute():
+def test_formod_checkmode_skips_compute(capsys, tmp_path):
+    """CHECKMODE validates files and dims without computing or writing
+    (jurassic.c:892-896, 1046-1050, 401-413, 1427-1430)."""
     d = GOLD / "limb"
     ctl = read_ctl(["formod", str(d / "limb.ctl"), "o", "a", "r",
                     "CHECKMODE", "1"], verbose=False)
+    # reads validate existence but skip the parse
     obs = read_obs(d / "obs.tab", ctl)
-    rad_before = obs.rad.copy()
-    from jurassic_tpu.forward import formod
     atm = read_atm(d / "atm.tab", ctl)
+    assert obs.nr == 0 and atm.npts == 0
+    # a missing file still fails fast
+    import pytest
+    with pytest.raises(OSError):
+        read_obs(d / "no_such_obs.tab", ctl)
+    from jurassic_tpu.forward import formod
+    from jurassic_tpu.io_tab import write_obs
+    from jurassic_tpu.tables import tables_checkmode
     formod(ctl, atm, obs)
-    np.testing.assert_array_equal(obs.rad, rad_before)
+    tables_checkmode(ctl, str(d))
+    out = tmp_path / "rad.tab"
+    write_obs(out, ctl, obs)
+    assert not out.exists()                  # write skipped
+    text = capsys.readouterr().out
+    assert "but skip" in text
+    assert "no actual computation" in text
+    assert "try to initialize tables" in text
 
 
 def test_observation_mask():

@@ -75,6 +75,33 @@ def test_fd_vs_autodiff_jacobian(setup):
     np.testing.assert_allclose(K_fd, K_ad, atol=2e-2 * scale, rtol=0.05)
 
 
+def test_fd_vs_autodiff_hydrostatic_large_state():
+    """HYDZ >= 0 (differentiable hydrostatic rebuild in the traced graph)
+    with a 100+-element state vector: the vectorized scatter and the
+    in-graph hydrostatics must reproduce the FD kernel, which re-runs
+    hydrostatic_atm per perturbation (jurassic.c:812-857 +
+    jr_common.h:728-761)."""
+    ctl = synthetic_ctl(ng=2, nd=3)
+    ctl.nlos = 96
+    ctl.rayds = 50.0
+    ctl.raydz = 5.0
+    ctl.hydz = 20.0
+    # T + both gas vmr over the full column -> 3 * 46 = 138 elements
+    ctl.rett_zmin, ctl.rett_zmax = 0.0, 70.0
+    ctl.retq_zmin = [0.0, 0.0]
+    ctl.retq_zmax = [70.0, 70.0]
+    atm = synthetic_atm(ctl)
+    obs = limb_workload(ctl, 3)
+    model = ForwardModel(ctl, fast_tables=synthetic_fast_tables(
+        ctl, n_p=12, n_t=8, n_k=96))
+    K_fd = kernel(ctl, atm.copy(), obs.copy(), model)
+    K_ad = kernel_autodiff(ctl, atm.copy(), obs.copy(), model)
+    assert K_fd.shape == K_ad.shape and K_fd.shape[1] >= 100
+    scale = np.abs(K_ad).max()
+    assert scale > 0
+    np.testing.assert_allclose(K_fd, K_ad, atol=2e-2 * scale, rtol=0.05)
+
+
 def test_write_read_matrix_roundtrip(tmp_path, setup):
     ctl, atm, obs, model = setup
     ctl.write_matrix = 1
