@@ -78,6 +78,36 @@ def main(argv=None) -> int:
         timer("WARM-UP", 3)
     write_obs(argv[4], ctl, obs)
 
+    if s.scan_int("BENCH_SCALING", -1, "0"):
+        # power-of-2 nr x nd scaling sweep
+        # (BENCH_FORMOD_SCALING_TESTS, formod.c:84-92)
+        import dataclasses
+        nd = 1
+        while nd <= ctl.nd:
+            print(f"# with channels\n# with {nd} channels measure "
+                  "formod time")
+            ctl_b = dataclasses.replace(
+                ctl, nd=nd, nu=list(ctl.nu[:nd]),
+                window=list(ctl.window[:nd]))
+            fm_b = ForwardModel(ctl_b)
+            nr = 1
+            while nr <= obs.nr:
+                obs_b = obs.copy()
+                for f in dataclasses.fields(obs_b):
+                    v = getattr(obs_b, f.name)[:nr]
+                    setattr(obs_b, f.name, v[:, :nd] if v.ndim > 1 else v)
+                print(f"\nscaling test: runs with {nr} rays and {nd} "
+                      "channels")
+                fm_b.formod(atm.copy(), obs_b)       # warm-up/compile
+                t0 = time.perf_counter()
+                fm_b.formod(atm.copy(), obs_b)
+                dt = time.perf_counter() - t0
+                print(f"# with {nr} rays and {nd} channels formod took "
+                      f"{dt:g} seconds ({nr * nd / dt:.1f} rays*ch/s)")
+                nr *= 2
+            nd *= 2
+        return 0
+
     bench = s.scan_int("BENCH", -1, "0")
     if bench:
         niter = max(1, ctl.usetpu * ctl.usetpu) if bench == 1 else bench

@@ -165,6 +165,9 @@ class Ctl:
     # TPU execution knobs (no reference equivalent)
     kernel: str = "auto"   # auto | jax | pallas | exact
     nlos: int = NLOS_MAX   # LOS points budget per ray (static shape)
+    raypack: int = 0       # rays per pipelined package (0 = one batch);
+                           # the stream/package overlap analogue
+                           # (GPUdrivers.cu:176-183, 296-335)
 
     def emitter_index(self, name: str) -> int:
         """find_emitter (jurassic.c:198-207): case-insensitive, -1 if absent."""
@@ -281,6 +284,7 @@ def read_ctl(argv: Sequence[str], verbose: bool = True) -> Ctl:
 
     ctl.kernel = s.scan("KERNEL", -1, "auto").lower()
     ctl.nlos = s.scan_int("NLOS", -1, str(NLOS_MAX))
+    ctl.raypack = s.scan_int("RAYPACK", -1, "0")
     return ctl
 
 

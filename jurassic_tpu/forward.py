@@ -307,11 +307,12 @@ class ForwardModel:
             los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
             self.use_fast, bool(self.ctl.write_bbt))
 
-    def trace(self, atm: Atm, obs: Obs) -> LosData:
+    def trace(self, atm: Atm, obs: Obs, hydro: bool = True) -> LosData:
         """Hydrostatic adjustment + ray tracing (hydrostatic1d_CPU +
         raytrace_rays_CPU, CPUdrivers.c:89-103).  Mutates atm.p like the
         reference."""
-        hydrostatic_atm(self.ctl, atm)
+        if hydro:
+            hydrostatic_atm(self.ctl, atm)
         prof = build_ray_profiles(self.ctl, atm, obs, self.dtype)
         obs_geo = dict(
             obsz=jnp.asarray(obs.obsz, self.dtype),
@@ -406,24 +407,66 @@ class ForwardModel:
     def formod(self, atm: Atm, obs: Obs) -> Obs:
         """Full forward model (formod, CPUdrivers.c:179-193).
 
-        Fills obs.rad/obs.tau/tangent points in place and returns obs."""
+        Fills obs.rad/obs.tau/tangent points in place and returns obs.
+
+        With ``RAYPACK > 0`` the scan is processed in fixed-size ray
+        packages: JAX's async dispatch overlaps host-side profile prep
+        of package k+1 with the device raytrace + RT integration of
+        package k — the stream/package overlap of the reference GPU
+        driver (GPUdrivers.cu:176-183, 296-335) without explicit
+        streams.  Results transfer back only after every package has
+        been enqueued."""
         ctl = self.ctl
         if ctl.checkmode:
             print(f"# formod: checkmode = {ctl.checkmode}, "
                   "no actual computation is performed!")
             return obs
         mask = ~np.isfinite(obs.rad)                  # save_mask
-        los = (self.trace(atm, obs) if ctl.ip == 1
-               else self.pencil_trace(atm, obs))
-        out = self.integrate(los)
-        obs.rad = np.array(out.rad, np.float64)
-        obs.tau = np.array(out.tau, np.float64)
-        obs.tpz = np.array(los.tpz, np.float64)
-        obs.tplon = np.array(los.tplon, np.float64)
-        obs.tplat = np.array(los.tplat, np.float64)
+        pack = int(ctl.raypack)
+        if ctl.ip == 1 and 0 < pack < obs.nr:
+            self._formod_packaged(atm, obs, pack)
+        else:
+            los = (self.trace(atm, obs) if ctl.ip == 1
+                   else self.pencil_trace(atm, obs))
+            out = self.integrate(los)
+            obs.rad = np.array(out.rad, np.float64)
+            obs.tau = np.array(out.tau, np.float64)
+            obs.tpz = np.array(los.tpz, np.float64)
+            obs.tplon = np.array(los.tplon, np.float64)
+            obs.tplat = np.array(los.tplat, np.float64)
         formod_fov(ctl, obs)
         obs.rad[mask] = np.nan                        # apply_mask
         return obs
+
+    def _formod_packaged(self, atm: Atm, obs: Obs, pack: int) -> None:
+        """Pipelined package loop: enqueue trace+integrate per package
+        (device, async), only then pull results to host.  The last
+        package is padded by repeating the final ray so every package
+        shares one compiled shape."""
+        import dataclasses as dc
+        hydrostatic_atm(self.ctl, atm)               # once, up front
+        R = obs.nr
+        handles = []
+        for start in range(0, R, pack):
+            idx = np.minimum(np.arange(start, start + pack), R - 1)
+            obs_k = Obs(**{
+                f.name: np.ascontiguousarray(getattr(obs, f.name)[idx])
+                for f in dc.fields(Obs)})
+            los_k = self.trace(atm, obs_k, hydro=False)  # prep + enqueue
+            out_k = self.integrate(los_k)            # enqueue
+            handles.append((min(pack, R - start), los_k, out_k))
+        rad, tau, tpz, tplon, tplat = [], [], [], [], []
+        for n, los_k, out_k in handles:              # sync D2H at the end
+            rad.append(np.array(out_k.rad, np.float64)[:n])
+            tau.append(np.array(out_k.tau, np.float64)[:n])
+            tpz.append(np.array(los_k.tpz, np.float64)[:n])
+            tplon.append(np.array(los_k.tplon, np.float64)[:n])
+            tplat.append(np.array(los_k.tplat, np.float64)[:n])
+        obs.rad = np.concatenate(rad)
+        obs.tau = np.concatenate(tau)
+        obs.tpz = np.concatenate(tpz)
+        obs.tplon = np.concatenate(tplon)
+        obs.tplat = np.concatenate(tplat)
 
 
 def formod(ctl: Ctl, atm: Atm, obs: Obs, tables: EgaTables | None = None,

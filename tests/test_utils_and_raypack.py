@@ -1,0 +1,68 @@
+"""Timer-stack semantics (jurassic.c:1224-1246) and the RAYPACK
+pipelined package loop (the stream/package-overlap analogue of
+GPUdrivers.cu:176-183)."""
+import numpy as np
+import pytest
+
+from jurassic_tpu.forward import ForwardModel
+from jurassic_tpu.models.synthetic import (limb_workload, synthetic_atm,
+                                           synthetic_ctl,
+                                           synthetic_fast_tables)
+from jurassic_tpu.utils import timed, timer
+
+
+def test_timer_stack_nesting(capsys):
+    timer("outer", 1)
+    timer("inner", 1)
+    dt_in = timer("inner", 3)
+    dt_out = timer("outer", -3)        # silent stop
+    assert 0 <= dt_in <= dt_out
+    out = capsys.readouterr().out
+    assert "Timer 'inner'" in out and "outer" not in out
+
+
+def test_timer_errors():
+    with pytest.raises(RuntimeError, match="Coding error"):
+        timer("nothing-started", 3)
+    for i in range(10):
+        timer(f"t{i}", 1)
+    with pytest.raises(RuntimeError, match="Too many timers"):
+        timer("overflow", 1)
+    for _ in range(11):
+        try:
+            timer("x", -3)
+        except RuntimeError:
+            break
+
+
+def test_timed_context(capsys):
+    with timed("block") as t:
+        pass
+    assert t.dt >= 0
+    assert "Timer 'block'" in capsys.readouterr().out
+    with timed("silent", silent=True) as t:
+        pass
+    assert "silent" not in capsys.readouterr().out
+
+
+def test_raypack_bitwise_identical():
+    """Packaged execution pads the last package by repeating the final
+    ray, so every package shares one compiled shape and the results are
+    bitwise identical to the monolithic batch."""
+    ctl = synthetic_ctl(ng=3, nd=8)
+    ctl.nlos = 120
+    ctl.rayds = 20.0
+    ctl.raydz = 2.0
+    ft = synthetic_fast_tables(ctl, n_p=8, n_t=5, n_k=48)
+    atm = synthetic_atm(ctl)
+    obs = limb_workload(ctl, 37)       # deliberately not pack-aligned
+    m = ForwardModel(ctl, fast_tables=ft)
+    o1 = obs.copy()
+    m.formod(atm, o1)
+    ctl.raypack = 16
+    o2 = obs.copy()
+    m.formod(atm, o2)
+    np.testing.assert_array_equal(o1.rad, o2.rad)
+    np.testing.assert_array_equal(o1.tau, o2.tau)
+    np.testing.assert_array_equal(o1.tpz, o2.tpz)
+    ctl.raypack = 0
