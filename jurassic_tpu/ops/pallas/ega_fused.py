@@ -53,7 +53,8 @@ from ...tables import LOG2_RATIO_U, FastTables
 LANE = 128          # channel lane width
 BIG = 1.0e30        # eps-row padding sentinel (self-describing counts)
 BIG_CHK = 1.0e29    # nk = count(row < BIG_CHK)
-N_AUG = 4           # appended rows: log2_u0, t value, p value, valid
+N_AUG = 5           # appended rows: log2_u0, t value, p value, valid,
+                    # nk2 = clip(count - 2, 0) (precomputed row count)
 N_SEG = 8           # packed per-segment scalars (see _pack_segments)
 N_CC = 12           # packed continuum coefficient rows
 
@@ -147,6 +148,7 @@ def build_pallas_tables(ft: FastTables) -> PallasTables | None:
     eps_aug[:, :, K + 2, :D] = np.repeat(
         ft.p[:, :, None, :], T, axis=2).reshape(G, P * T, D)
     eps_aug[:, :, K + 3, :D] = valid.astype(np.float32)
+    eps_aug[:, :, K + 4, :D] = np.maximum(nu - 2, 0).astype(np.float32)
 
     chan_mask = np.zeros((G, Dp), np.float32)
     chan_mask[:, :D] = (ft.np_ >= 2).astype(np.float32)
@@ -266,11 +268,15 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 
     SEGW = N_SEG + W
 
-    def kernel(idx_ref, seg_ref, useg_ref, cc_ref, sr_ref, cm_ref,
+    def kernel(np_ref, idx_ref, seg_ref, useg_ref, cc_ref, sr_ref, cm_ref,
                eps_hbm, rad_ref, tau_ref, slab, sem):
         # SMEM blocks are flattened [1, S*width]: small trailing dims
         # would be tile-padded far past the SMEM budget otherwise
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, Dp), 0)
+        # dynamic LOS bound: loop only the ray's actual point count
+        # (the reference's per-ray np[ir], CPUdrivers.c:66); at least 1
+        # so the prefetch issued before the loop is always consumed
+        nb = jnp.clip(np_ref[0, 0, 0], 1, S)
 
         def copies(s, buf):
             cps = []
@@ -293,12 +299,13 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 
         start(0, 0)
 
-        def row_lookup(row, l2u0, target, u_seg):
+        def row_lookup(row, l2u0, nk2, target, u_seg):
             """One (p,T) corner: eps->u inversion + eps(u + u_seg)
             re-lookup on the log-uniform grid (get_u/get_eps,
-            jr_common.h:157-185, legitimized FAST_INVERSE_OF_U)."""
-            nk = jnp.sum((row < BIG_CHK).astype(jnp.int32), axis=0)
-            nk2 = jnp.maximum(nk - 2, 0)
+            jr_common.h:157-185, legitimized FAST_INVERSE_OF_U).
+            nk2 = clip(row count - 2, 0) comes precomputed from the
+            augmented table row (saves a K-axis reduction per corner
+            per segment)."""
             # invert: index of last eps <= target (locate_tbl_id)
             cnt = jnp.sum((row <= target).astype(jnp.int32), axis=0)
             i = jnp.clip(cnt - 1, 0, nk2)
@@ -324,7 +331,7 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             rad, tau, tau_path = carry
             nbuf, buf = (s + 1) % 2, s % 2
 
-            @pl.when(s + 1 < S)
+            @pl.when(s + 1 < nb)
             def _():
                 start(s + 1, nbuf)
 
@@ -385,7 +392,8 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                 for c in range(4):
                     row = slab[buf, g, c, :K, :]
                     l2u0 = slab[buf, g, c, K, :]
-                    eps_c.append(row_lookup(row, l2u0, target, u_seg))
+                    nk2 = slab[buf, g, c, K + 4, :].astype(jnp.int32)
+                    eps_c.append(row_lookup(row, l2u0, nk2, target, u_seg))
                     okl = okl * slab[buf, g, c, K + 3, :]
                 # bilinear: t within each p row, then p (jr_common.h:259-265)
                 t00 = slab[buf, g, 0, K + 1, :]
@@ -420,7 +428,7 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
         rad0 = jnp.zeros((Dp,), jnp.float32)
         tau0 = jnp.ones((Dp,), jnp.float32)
         tp0 = jnp.ones((G, Dp), jnp.float32)
-        rad, tau, _ = jax.lax.fori_loop(0, S, body, (rad0, tau0, tp0))
+        rad, tau, _ = jax.lax.fori_loop(0, nb, body, (rad0, tau0, tp0))
         rad_ref[0, 0, :] = rad
         tau_ref[0, 0, :] = tau
 
@@ -459,6 +467,8 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         kernel,
         grid=(R,),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, S * G * 2), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, S * (N_SEG + W)), lambda r: (r, 0, 0),
@@ -485,7 +495,8 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vlim)),
         interpret=interpret,
-    )(idx.reshape(R, 1, S * G * 2), seg.reshape(R, 1, S * (N_SEG + W)),
+    )(los.np_.astype(jnp.int32).reshape(R, 1, 1),
+      idx.reshape(R, 1, S * G * 2), seg.reshape(R, 1, S * (N_SEG + W)),
       useg.reshape(R, 1, S * G), cc_rows, pt.sr, pt.chan_mask, pt.eps_aug)
 
     D = pt.d_true

@@ -177,33 +177,67 @@ def table_report(ctl: Ctl, tbl: EgaTables) -> None:
           f"({100 * sparse / max(dense, 1e-30):.1f} %)\n")
 
 
+def _blocks_to_dense(blocks) -> dict:
+    """Nested ragged blocks (Python parser) -> the dense per-file dict
+    format of jurassic_tpu.native.parse_tab_file."""
+    P = len(blocks)
+    T = max((len(tb) for _, tb in blocks), default=1)
+    U = max((len(ub) for _, tb in blocks for _, ub in tb), default=1)
+    out = {"np": P, "nt": np.zeros(P, np.int32),
+           "nu": np.zeros((P, T), np.int32), "p": np.zeros(P),
+           "t": np.zeros((P, T)), "u": np.zeros((P, T, U), np.float32),
+           "eps": np.zeros((P, T, U), np.float32)}
+    for ip, (press, tb) in enumerate(blocks):
+        out["p"][ip] = press
+        out["nt"][ip] = len(tb)
+        for it, (temp, ub) in enumerate(tb):
+            out["t"][ip, it] = temp
+            out["nu"][ip, it] = len(ub)
+            arr = np.array(ub)
+            out["u"][ip, it, :len(ub)] = arr[:, 0]
+            out["eps"][ip, it, :len(ub)] = arr[:, 1]
+    return out
+
+
 def load_tables(ctl: Ctl, directory: str | Path = ".",
                 verbose: bool = True) -> EgaTables:
     """Load all (gas, channel) LUTs + filter functions into padded arrays.
 
     Missing table files leave np_[g,d] = 0 -> the gas is transparent for
-    that channel (ega_eps returns 1, jr_common.h:240-246)."""
+    that channel (ega_eps returns 1, jr_common.h:240-246).
+
+    The parse runs on the native C parser over a thread pool when
+    available (jurassic_tpu/native/tabparse.c — the analogue of the
+    reference's OpenMP-parallel init_tbl, jurassic.c:311-416, :329),
+    falling back to the pure-Python parser otherwise."""
+    from . import native
     directory = Path(directory)
     G, D = ctl.ng, ctl.nd
-    ragged = {}
-    maxP = maxT = maxU = 1
+    present = []
     missing = 0
     for ig in range(G):
         for idx in range(D):
             fn = directory / table_filename(ctl.tblbase, ctl.nu[idx],
                                             ctl.emitter[ig])
-            if not fn.exists():
+            if fn.exists():
+                present.append((ig, idx, fn))
+            else:
                 missing += 1
-                continue
+    parsed = native.parse_tab_files([fn for _, _, fn in present])
+    dense = {}
+    maxP = maxT = maxU = 1
+    for (ig, idx, fn), d in zip(present, parsed):
+        if d is None:                        # no native library
             blocks = _parse_tab_file(fn)
             if not blocks:
                 continue
-            ragged[(ig, idx)] = blocks
-            maxP = max(maxP, len(blocks))
-            for _, tb in blocks:
-                maxT = max(maxT, len(tb))
-                for _, ub in tb:
-                    maxU = max(maxU, len(ub))
+            d = _blocks_to_dense(blocks)
+        if d["np"] <= 0:
+            continue
+        dense[(ig, idx)] = d
+        maxP = max(maxP, d["np"])
+        maxT = max(maxT, int(d["nt"].max(initial=0)))
+        maxU = max(maxU, int(d["nu"].max(initial=0)))
     if verbose and missing:
         print(f"Warning! {missing} emissivity table files were not found!")
     if maxP > TBLNP or maxT > TBLNT or maxU > TBLNU:
@@ -218,17 +252,15 @@ def load_tables(ctl: Ctl, directory: str | Path = ".",
     t = np.zeros((G, P, T, D))
     u = np.zeros((G, P, T, U, D), np.float32)
     eps = np.zeros((G, P, T, U, D), np.float32)
-    for (ig, idx), blocks in ragged.items():
-        np_[ig, idx] = len(blocks)
-        for ip, (press, tb) in enumerate(blocks):
-            p[ig, ip, idx] = press
-            nt[ig, ip, idx] = len(tb)
-            for it, (temp, ub) in enumerate(tb):
-                t[ig, ip, it, idx] = temp
-                nu_[ig, ip, it, idx] = len(ub)
-                arr = np.array(ub)
-                u[ig, ip, it, :len(ub), idx] = arr[:, 0]
-                eps[ig, ip, it, :len(ub), idx] = arr[:, 1]
+    for (ig, idx), d in dense.items():
+        fp, ft_, fu = d["p"].size, d["t"].shape[1], d["u"].shape[2]
+        np_[ig, idx] = d["np"]
+        nt[ig, :fp, idx] = d["nt"]
+        nu_[ig, :fp, :ft_, idx] = d["nu"]
+        p[ig, :fp, idx] = d["p"]
+        t[ig, :fp, :ft_, idx] = d["t"]
+        u[ig, :fp, :ft_, :fu, idx] = d["u"]
+        eps[ig, :fp, :ft_, :fu, idx] = d["eps"]
 
     sr, st = load_source_table(ctl, directory)
     tbl = EgaTables(np_=np_, nt=nt, nu=nu_, p=p, t=t, u=u, eps=eps,
