@@ -1,10 +1,20 @@
 """Shared helpers for the CLI tools (reference-compatible argv handling)."""
 from __future__ import annotations
 
+import os
 import sys
 from typing import Sequence
 
 from ..config import Ctl, CtlScanner, read_ctl
+
+# Honor JAX_PLATFORMS for every CLI: forcibly registered accelerator
+# plugins can override the env var at backend-init time, so apply it
+# through the config (which wins) before any backend use.  "axon" (the
+# tunneled-TPU plugin's own value) is left to the plugin.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and _plat.lower() not in ("axon",):
+    import jax
+    jax.config.update("jax_platforms", _plat)
 
 
 def die(msg: str) -> None:
