@@ -16,6 +16,12 @@ if _plat and _plat.lower() not in ("axon",):
     import jax
     jax.config.update("jax_platforms", _plat)
 
+# Sanitizer analogue (SURVEY section 5: jax.debug NaN checking in place
+# of cuda-memcheck/asserts): opt-in NaN trapping for kernel debugging.
+if os.environ.get("JURASSIC_DEBUG_NANS"):
+    import jax
+    jax.config.update("jax_debug_nans", True)
+
 
 def die(msg: str) -> None:
     print(f"\nError: {msg}\n")

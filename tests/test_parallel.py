@@ -96,3 +96,26 @@ def test_synthetic_workload_smoke():
     fm2.formod(synthetic_atm(ctl2, dz=5.0), obs2)
     scale = np.abs(obs.rad).max()
     assert np.abs(obs2.rad - obs.rad).max() < 2e-3 * scale
+
+
+def test_init_distributed_plumbing(monkeypatch):
+    """init_distributed: no-op without coordinator env/args; passes the
+    coordinator config through to jax.distributed.initialize (the
+    multi-host analogue of the reference's MPI-rank device selection,
+    jurassic.h:336-338)."""
+    import jax
+    from jurassic_tpu.parallel.mesh import init_distributed
+    calls = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.update(kw))
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    init_distributed()
+    assert not calls                       # single-process: no-op
+    init_distributed("host0:1234", num_processes=2, process_id=1)
+    assert calls == {"coordinator_address": "host0:1234",
+                     "num_processes": 2, "process_id": 1}
+    calls.clear()
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host9:99")
+    init_distributed()
+    assert calls["coordinator_address"] is None  # env-driven path
