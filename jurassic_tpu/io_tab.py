@@ -402,3 +402,59 @@ def read_shape(path: str | Path,
     if not xs:
         raise ValueError(f"Could not read any data from {path}!")
     return np.array(xs), np.array(ys)
+
+
+def read_rfm_spec(path: str | Path):
+    """Read an RFM spectrum file (read_rfm_spec, jurassic.c:1107-1131):
+    4 header lines, the last holding ``npts nu0 dnu nu1``; radiance
+    values whitespace-separated across the remaining lines; wavenumbers
+    linear from nu0 to nu1.  Returns (nu, rad)."""
+    path = Path(path)
+    print(f"Read RFM data: {path}")
+    with open(path) as f:
+        header = [f.readline() for _ in range(4)]
+        if not all(header):
+            raise ValueError("Error while reading file header!")
+        toks = header[3].split()
+        npts, nu0, _dnu, nu1 = (int(toks[0]), float(toks[1]),
+                                float(toks[2]), float(toks[3]))
+        vals: list[float] = []
+        for line in f:
+            for tok in line.split():
+                try:
+                    vals.append(float(tok))
+                except ValueError:
+                    pass
+                if len(vals) >= npts:
+                    break
+            if len(vals) >= npts:
+                break
+    if len(vals) != npts:
+        raise ValueError("Error while reading RFM data!")
+    nu = nu0 + (nu1 - nu0) * np.arange(npts) / max(npts - 1, 1)
+    return nu, np.array(vals)
+
+
+def read_obs_rfm(basename: str, z: float, nu: np.ndarray,
+                 f: np.ndarray) -> float:
+    """Filter-convolved radiance from an RFM spectrum at tangent
+    altitude z (read_obs_rfm, jurassic.c:1071-1104): the spectrum file
+    is ``<basename>_<z*1000:05d>.asc`` (or the next millimeter up); the
+    filter grid is re-sampled linearly between its end points before
+    the convolution, exactly like the reference."""
+    n = len(nu)
+    path = Path(f"{basename}_{int(z * 1000):05d}.asc")
+    if not path.exists():
+        path = Path(f"{basename}_{int(z * 1000) + 1:05d}.asc")
+    nurfm, rad = read_rfm_spec(path)
+    nu2 = np.empty(n)
+    nu2[0], nu2[-1] = nu[0], nu[-1]
+    i = np.arange(1, max(n - 1, 1))
+    nu2[1:n - 1] = nu2[0] + (nu2[n - 1] - nu2[0]) * i / (n - 1.0)
+    sel = (nurfm >= nu2[0]) & (nurfm <= nu2[-1])
+    idx = np.clip(np.searchsorted(nu2, nurfm[sel], side="right") - 1,
+                  0, n - 2)
+    filt = f[idx] + (nurfm[sel] - nu2[idx]) / (nu2[idx + 1] - nu2[idx]) \
+        * (f[idx + 1] - f[idx])
+    fsum = filt.sum()
+    return float((filt * rad[sel]).sum() / fsum)

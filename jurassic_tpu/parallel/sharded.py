@@ -46,6 +46,22 @@ def _place_tables(mesh: Mesh, model: ForwardModel) -> None:
         put(leaf, chan_minor_sharding(mesh, 1)) for leaf in model.cc))
 
 
+def global_put(x, sharding):
+    """Place host data with a sharding, multi-host aware.
+
+    Single-process: plain ``device_put``.  Multi-host (after
+    mesh.init_distributed): each process passes its PER-PROCESS slice of
+    the ray axis and the pieces assemble into one global array without
+    any host holding the full batch
+    (``jax.make_array_from_process_local_data`` — the per-host input
+    loading of SURVEY section 5's distributed-backend design; the
+    upstream MPI harness partitions the obs batch externally the same
+    way)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def pad_obs(obs: Obs, r_pad: int) -> Obs:
     """Pad the ray axis to the mesh multiple by repeating the last ray
     (cheap, discarded after the gather; keeps every shard's geometry
@@ -89,11 +105,11 @@ class ShardedForwardModel(ForwardModel):
         hydrostatic_atm(self.ctl, atm)
         prof = build_ray_profiles(self.ctl, atm, obs, self.dtype)
         prof = RayProfiles(*(
-            jax.device_put(leaf, ray_sharding(self.mesh, np.ndim(leaf)))
+            global_put(leaf, ray_sharding(self.mesh, np.ndim(leaf)))
             for leaf in prof))
         sh1 = ray_sharding(self.mesh, 1)
         obs_geo = {
-            name: jax.device_put(
+            name: global_put(
                 np.asarray(getattr(obs, name), self.dtype), sh1)
             for name in ("obsz", "obslon", "obslat", "vpz", "vplon", "vplat")}
         return trace_rays(self.ctl, prof, obs_geo, self.dtype)

@@ -75,3 +75,29 @@ def test_io_roundtrip(tmp_path, ref_example):
     write_obs(tmp_path / "obs.tab", ctl, obs)
     obs2 = read_obs(tmp_path / "obs.tab", ctl)
     np.testing.assert_array_equal(obs.rad, obs2.rad)
+
+
+def test_rfm_spectrum_roundtrip(tmp_path):
+    """read_rfm_spec / read_obs_rfm (jurassic.c:1071-1131): synthetic
+    RFM .asc file, filter convolution against a NumPy reference."""
+    import numpy as np
+    from jurassic_tpu.io_tab import read_obs_rfm, read_rfm_spec
+    npts, nu0, nu1 = 101, 790.0, 800.0
+    rad = 1e-3 * (1 + np.sin(np.linspace(0, 6, npts)))
+    f = tmp_path / "rfm_10000.asc"
+    body = "\n".join(" ".join(f"{v:.6e}" for v in rad[i:i + 5])
+                     for i in range(0, npts, 5))
+    f.write_text("! RFM\n! header\n! lines\n"
+                 f"{npts} {nu0} 0.1 {nu1}\n{body}\n")
+    nu, r = read_rfm_spec(f)
+    assert r.size == npts and nu[0] == nu0 and nu[-1] == nu1
+    np.testing.assert_allclose(r, rad, rtol=1e-6)
+    # boxcar filter over the middle of the band
+    fgrid = np.linspace(792.0, 798.0, 7)
+    fvals = np.ones(7)
+    val = read_obs_rfm(str(tmp_path / "rfm"), 10.0, fgrid, fvals)
+    sel = (nu >= 792.0) & (nu <= 798.0)
+    np.testing.assert_allclose(val, rad[sel].mean(), rtol=1e-6)
+    # z just below a stored level resolves to the next millimeter up
+    val2 = read_obs_rfm(str(tmp_path / "rfm"), 9.999, fgrid, fvals)
+    assert val2 == val
