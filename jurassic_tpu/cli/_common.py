@@ -16,6 +16,14 @@ if _plat and _plat.lower() not in ("axon",):
     import jax
     jax.config.update("jax_platforms", _plat)
 
+# Reference parity on the host backend: the C implementation computes in
+# double precision on the CPU (jurassic.h real_t), so CPU-pinned CLI
+# runs enable x64 by default (opt out with JURASSIC_FP32=1).  TPU runs
+# keep the float32 compute path.
+if _plat.lower() == "cpu" and not os.environ.get("JURASSIC_FP32"):
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
 # Sanitizer analogue (SURVEY section 5: jax.debug NaN checking in place
 # of cuda-memcheck/asserts): opt-in NaN trapping for kernel debugging.
 if os.environ.get("JURASSIC_DEBUG_NANS"):

@@ -169,17 +169,15 @@ def rt_integrate(tbl, sr, st, nu, cc: ContinuaCoeffs, window, los: LosData,
     return RtOut(rad=rad, tau=tau)
 
 
-@partial(jax.jit, static_argnames=("flags", "ig_co2", "ig_h2o", "bbt",
-                                   "interpret"))
-def rt_integrate_pallas(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
-                        flags, ig_co2, ig_h2o, bbt,
-                        interpret=False) -> RtOut:
-    """RT integration through the fused Pallas kernel
-    (ops/pallas/ega_fused.py): same contract as :func:`rt_integrate`.
-    Surface emission (add_surface_core, jr_common.h:228-234) and the
-    brightness conversion stay outside the kernel as cheap [R, D]
-    epilogues, mirroring the reference's separate surface/BT kernels
-    (GPUdrivers.cu:234-240)."""
+def rt_pallas_core(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
+                   flags, ig_co2, ig_h2o, bbt,
+                   interpret=False) -> RtOut:
+    """Unjitted fused-Pallas RT step: the kernel plus the surface
+    emission (add_surface_core, jr_common.h:228-234) and brightness
+    conversion epilogues, which stay outside the kernel as cheap [R, D]
+    jnp ops mirroring the reference's separate surface/BT kernels
+    (GPUdrivers.cu:234-240).  Also the per-shard body of the
+    shard-mapped multi-chip driver (parallel/sharded.py)."""
     from .ops.pallas import rt_fused_pallas
     rad, tau = rt_fused_pallas(pt, cc_rows, los, flags, ig_co2, ig_h2o,
                                interpret=interpret)
@@ -191,6 +189,17 @@ def rt_integrate_pallas(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
     if bbt:
         rad = brightness_jnp(rad, nu.astype(jnp.float32))
     return RtOut(rad=rad, tau=tau)
+
+
+@partial(jax.jit, static_argnames=("flags", "ig_co2", "ig_h2o", "bbt",
+                                   "interpret"))
+def rt_integrate_pallas(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
+                        flags, ig_co2, ig_h2o, bbt,
+                        interpret=False) -> RtOut:
+    """RT integration through the fused Pallas kernel
+    (ops/pallas/ega_fused.py): same contract as :func:`rt_integrate`."""
+    return rt_pallas_core(pt, cc_rows, sr, st, nu, los, tsurf,
+                          flags, ig_co2, ig_h2o, bbt, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +240,22 @@ def formod_fov(ctl: Ctl, obs: Obs) -> None:
 # ---------------------------------------------------------------------------
 # Host orchestration
 
+def pad_obs(obs: Obs, r_pad: int) -> Obs:
+    """Pad the ray axis to r_pad by repeating the last ray (cheap,
+    discarded after the gather; keeps every shard's geometry well-posed
+    so the tracer never sees degenerate inputs)."""
+    import dataclasses
+    r = obs.nr
+    if r == r_pad:
+        return obs
+    fields = {}
+    for f in dataclasses.fields(Obs):
+        arr = np.asarray(getattr(obs, f.name))
+        reps = (r_pad - r,) + (1,) * (arr.ndim - 1)
+        fields[f.name] = np.concatenate([arr, np.tile(arr[-1:], reps)])
+    return Obs(**fields)
+
+
 class ForwardModel:
     """Loaded, device-resident forward model for one ctl configuration.
 
@@ -242,8 +267,17 @@ class ForwardModel:
 
     def __init__(self, ctl: Ctl, tables: EgaTables | None = None,
                  directory: str = ".", dtype=None,
-                 fast_tables: FastTables | None = None):
+                 fast_tables: FastTables | None = None,
+                 pallas_n_chan: int = 1):
         self.ctl = ctl
+        self.ray_multiple = 1   # mesh ray-shard count (ShardedForwardModel)
+        if ctl.formod != 2:
+            # The reference ships only the EGA forward model and hard-asserts
+            # on the CGA selector when not compiled in (jr_common.h:701-707);
+            # RFM is declared but not implemented there either.
+            raise ValueError(
+                f"FORMOD = {ctl.formod} is not supported (1 = CGA and "
+                "3 = RFM are not implemented; use FORMOD = 2 for EGA)")
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -262,7 +296,8 @@ class ForwardModel:
                            or (ctl.kernel == "auto" and on_tpu))
             if want_pallas:
                 from .ops.pallas import build_pallas_tables
-                self.pallas_tbl = build_pallas_tables(fast_tables)
+                self.pallas_tbl = build_pallas_tables(fast_tables,
+                                                      pallas_n_chan)
                 if self.pallas_tbl is not None:
                     self.kernel_mode = "pallas"
                     self.pallas_interpret = not on_tpu
@@ -282,7 +317,8 @@ class ForwardModel:
         if self.kernel_mode == "pallas":
             from .ops.pallas import pack_continua
             self.cc_rows = pack_continua(
-                precompute_continua(ctl), np.asarray(ctl.window), ctl.nd)
+                precompute_continua(ctl), np.asarray(ctl.window), ctl.nd,
+                ctl.nw, pallas_n_chan)
         # continuum configuration (fourbit, CPUdrivers.c:126-134)
         self.ig_co2 = ctl.emitter_index("CO2")
         self.ig_h2o = ctl.emitter_index("H2O")
@@ -423,20 +459,28 @@ class ForwardModel:
             return obs
         mask = ~np.isfinite(obs.rad)                  # save_mask
         pack = int(ctl.raypack)
+        m = max(self.ray_multiple, 1)
         if ctl.ip == 1 and 0 < pack < obs.nr:
-            self._formod_packaged(atm, obs, pack)
+            self._formod_packaged(atm, obs, -(-pack // m) * m)
         else:
-            los = (self.trace(atm, obs) if ctl.ip == 1
-                   else self.pencil_trace(atm, obs))
+            r = obs.nr
+            obs_run = pad_obs(obs, -(-r // m) * m)
+            los = (self.trace(atm, obs_run) if ctl.ip == 1
+                   else self.pencil_trace(atm, obs_run))
             out = self.integrate(los)
-            obs.rad = np.array(out.rad, np.float64)
-            obs.tau = np.array(out.tau, np.float64)
-            obs.tpz = np.array(los.tpz, np.float64)
-            obs.tplon = np.array(los.tplon, np.float64)
-            obs.tplat = np.array(los.tplat, np.float64)
+            obs.rad = self._to_host(out.rad)[:r]
+            obs.tau = self._to_host(out.tau)[:r]
+            obs.tpz = self._to_host(los.tpz)[:r]
+            obs.tplon = self._to_host(los.tplon)[:r]
+            obs.tplat = self._to_host(los.tplat)[:r]
         formod_fov(ctl, obs)
         obs.rad[mask] = np.nan                        # apply_mask
         return obs
+
+    def _to_host(self, x) -> np.ndarray:
+        """Device array -> host float64 (overridden by the sharded model
+        to gather fully-distributed arrays across processes)."""
+        return np.array(x, np.float64)
 
     def _formod_packaged(self, atm: Atm, obs: Obs, pack: int) -> None:
         """Pipelined package loop: enqueue trace+integrate per package
@@ -457,11 +501,11 @@ class ForwardModel:
             handles.append((min(pack, R - start), los_k, out_k))
         rad, tau, tpz, tplon, tplat = [], [], [], [], []
         for n, los_k, out_k in handles:              # sync D2H at the end
-            rad.append(np.array(out_k.rad, np.float64)[:n])
-            tau.append(np.array(out_k.tau, np.float64)[:n])
-            tpz.append(np.array(los_k.tpz, np.float64)[:n])
-            tplon.append(np.array(los_k.tplon, np.float64)[:n])
-            tplat.append(np.array(los_k.tplat, np.float64)[:n])
+            rad.append(self._to_host(out_k.rad)[:n])
+            tau.append(self._to_host(out_k.tau)[:n])
+            tpz.append(self._to_host(los_k.tpz)[:n])
+            tplon.append(self._to_host(los_k.tplon)[:n])
+            tplat.append(self._to_host(los_k.tplat)[:n])
         obs.rad = np.concatenate(rad)
         obs.tau = np.concatenate(tau)
         obs.tpz = np.concatenate(tpz)

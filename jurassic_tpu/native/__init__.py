@@ -58,7 +58,21 @@ def _load() -> ctypes.CDLL | None:
         if path is None:
             _LIB = False
             return None
-        lib = ctypes.CDLL(str(path))
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError:
+            # A stale/foreign-arch cached .so (e.g. checked out on a
+            # different platform): force one rebuild, then give up and
+            # let callers fall back to the pure-Python parser.
+            try:
+                path.unlink()
+                path = _build()
+                lib = ctypes.CDLL(str(path)) if path else None
+            except OSError:
+                lib = None
+            if lib is None:
+                _LIB = False
+                return None
         c_int_p = ctypes.POINTER(ctypes.c_int)
         lib.jr_scan_dims.argtypes = [ctypes.c_char_p, c_int_p, c_int_p,
                                      c_int_p]

@@ -118,7 +118,10 @@ int jr_parse_tab(const char *path, int P, int T, int U,
 		if (it >= T) continue;
 		if ((ee > eps_old && uu > u_old) || iu < 0) {
 			eps_old = ee; u_old = uu;
-			if (iu + 1 < U) ++iu;   /* reference overwrites at cap */
+			/* at cap: keep the previous entry and skip the store
+			 * (IDX_U--; continue -- jurassic.c:373-378) */
+			if (iu + 1 >= U) continue;
+			++iu;
 			nu[ip * T + it] = iu + 1;
 		} /* else: overwrite the previous entry */
 		const size_t k = ((size_t)ip * T + it) * U + iu;

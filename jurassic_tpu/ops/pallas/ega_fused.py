@@ -71,6 +71,14 @@ class PallasTables(NamedTuple):
     the per-lane log2(u0), row K+1 the temperature value, row K+2 the
     pressure value, row K+3 the validity flag (nu>=2 & nt>=2 & resample
     ok, the guard set of jr_common.h:241-246).
+
+    With ``n_chan > 1`` the lane axis holds that many channel shards
+    back to back, each independently lane-padded to a LANE multiple, so
+    a ``PartitionSpec(..., "chan")`` sharding hands every mesh shard an
+    exact, lane-aligned [.., Dp_shard] block (``d_true`` is then the
+    per-shard true channel count).  Such tables must run through
+    the shard-mapped driver (parallel.sharded), never rt_fused_pallas
+    directly.
     """
 
     eps_aug: jax.Array    # [G, PT, K_aug, Dp] f32 (lives in HBM)
@@ -82,20 +90,39 @@ class PallasTables(NamedTuple):
     np_u: jax.Array       # [G] int32
     nt_u: jax.Array       # [G, P] int32
     k_rows: int           # K (eps rows per cell) -- static
-    d_true: int           # unpadded channel count -- static
+    d_true: int           # unpadded channel count per shard -- static
+    n_chan: int = 1       # channel shards packed on the lane axis
 
 
 jax.tree_util.register_pytree_node(
     PallasTables,
     lambda pt: ((pt.eps_aug, pt.sr, pt.chan_mask, pt.p_ax, pt.t_ax,
-                 pt.np_u, pt.nt_u), (pt.k_rows, pt.d_true)),
+                 pt.np_u, pt.nt_u), (pt.k_rows, pt.d_true, pt.n_chan)),
     lambda aux, ch: PallasTables(*ch, *aux))
 
 
-def build_pallas_tables(ft: FastTables) -> PallasTables | None:
+def shard_lanes(x: np.ndarray, n_chan: int) -> np.ndarray:
+    """Repack the true-channel minor axis into n_chan back-to-back
+    lane-padded shards: [..., D] -> [..., n_chan * round_up(D/n_chan)].
+    D must divide n_chan (channels are physics config, never padded)."""
+    D = x.shape[-1]
+    if D % n_chan != 0:
+        raise ValueError(f"D={D} not divisible by n_chan={n_chan}")
+    Ds = D // n_chan
+    Dp = _round_up(max(Ds, 1), LANE)
+    out = np.zeros(x.shape[:-1] + (n_chan * Dp,), x.dtype)
+    for j in range(n_chan):
+        out[..., j * Dp:j * Dp + Ds] = x[..., j * Ds:(j + 1) * Ds]
+    return out
+
+
+def build_pallas_tables(ft: FastTables,
+                        n_chan: int = 1) -> PallasTables | None:
     """Pack FastTables for the kernel; None if axes are not
     channel-uniform (per gas, over channels that have a table)."""
     G, P, T, K, D = ft.eps.shape
+    if n_chan > 1 and D % n_chan != 0:
+        return None
     # corner-pair DMAs read rows [ipt, ipt+2) and the (ipr+1) pressure
     # level: pad tiny (stub) tables to P, T >= 2 with invalid rows
     if P < 2 or T < 2:
@@ -110,7 +137,8 @@ def build_pallas_tables(ft: FastTables) -> PallasTables | None:
             nt=np.pad(ft.nt, (pad5[0], pad5[1], pad5[4])),
             p=np.pad(ft.p, (pad5[0], pad5[1], pad5[4])))
         P, T = P2, T2
-    Dp = _round_up(max(D, 1), LANE)
+    Ds = max(D, 1) // n_chan if n_chan > 1 else max(D, 1)
+    Dp = n_chan * _round_up(Ds, LANE)
     K_aug = _round_up(K + N_AUG, 8)
 
     p_ax = np.zeros((G, P))
@@ -134,6 +162,14 @@ def build_pallas_tables(ft: FastTables) -> PallasTables | None:
                 return None  # ragged across channels: jnp path handles it
 
     eps_aug = np.zeros((G, P * T, K_aug, Dp), np.float32)
+
+    def place(dst, src):
+        """Write true-channel data into the (per-shard lane-padded)
+        minor axis of dst (identity layout at n_chan = 1)."""
+        Dps = Dp // n_chan
+        for j in range(n_chan):
+            dst[..., j * Dps:j * Dps + Ds] = src[..., j * Ds:(j + 1) * Ds]
+
     eps = ft.eps.reshape(G, P * T, K, D)
     nu = ft.nu.reshape(G, P * T, D)
     l2u0 = ft.log2_u0.reshape(G, P * T, D)
@@ -142,34 +178,42 @@ def build_pallas_tables(ft: FastTables) -> PallasTables | None:
     # pad beyond each cell's count with BIG so nk = count(row < BIG_CHK)
     kk = np.arange(K)[None, None, :, None]
     pad = kk >= nu[:, :, None, :]
-    eps_aug[:, :, :K, :D] = np.where(pad, BIG, eps)
-    eps_aug[:, :, K, :D] = l2u0
-    eps_aug[:, :, K + 1, :D] = ft.t.reshape(G, P * T, D)
-    eps_aug[:, :, K + 2, :D] = np.repeat(
-        ft.p[:, :, None, :], T, axis=2).reshape(G, P * T, D)
-    eps_aug[:, :, K + 3, :D] = valid.astype(np.float32)
-    eps_aug[:, :, K + 4, :D] = np.maximum(nu - 2, 0).astype(np.float32)
+    place(eps_aug[:, :, :K, :], np.where(pad, BIG, eps))
+    place(eps_aug[:, :, K, :], l2u0)
+    place(eps_aug[:, :, K + 1, :], ft.t.reshape(G, P * T, D))
+    place(eps_aug[:, :, K + 2, :], np.repeat(
+        ft.p[:, :, None, :], T, axis=2).reshape(G, P * T, D))
+    place(eps_aug[:, :, K + 3, :], valid.astype(np.float32))
+    place(eps_aug[:, :, K + 4, :],
+          np.maximum(nu - 2, 0).astype(np.float32))
 
     chan_mask = np.zeros((G, Dp), np.float32)
-    chan_mask[:, :D] = (ft.np_ >= 2).astype(np.float32)
+    place(chan_mask, (ft.np_ >= 2).astype(np.float32))
     S = ft.sr.shape[0]
     sr = np.zeros((S, Dp), np.float32)
-    sr[:, :D] = ft.sr
+    place(sr, ft.sr)
 
     return PallasTables(
         eps_aug=jnp.asarray(eps_aug), sr=jnp.asarray(sr),
         chan_mask=jnp.asarray(chan_mask),
         p_ax=jnp.asarray(p_ax), t_ax=jnp.asarray(t_ax),
         np_u=jnp.asarray(np_u), nt_u=jnp.asarray(nt_u),
-        k_rows=K, d_true=D)
+        k_rows=K, d_true=Ds, n_chan=n_chan)
 
 
-def pack_continua(cc, window: np.ndarray, nd: int) -> jax.Array:
+def pack_continua(cc, window: np.ndarray, nd: int, nw: int = 0,
+                  n_chan: int = 1) -> jax.Array:
     """Continuum coefficients as [N_CC + W, Dp] f32 rows with the band
     masks pre-applied (continua_ctm*, jr_common.h:316-390) followed by
-    the window one-hot rows for the gray-extinction channel map."""
-    Dp = _round_up(max(nd, 1), LANE)
-    m = np.zeros((N_CC, Dp))
+    the window one-hot rows for the gray-extinction channel map.
+
+    ``nw`` is the declared window count (ctl.nw): the kernel statically
+    reads one row per declared window, so the one-hot block must span
+    all of them even when some windows are not referenced by any
+    channel (unreferenced rows are zero and contribute nothing).
+    ``n_chan`` packs the lane axis into that many per-shard lane-padded
+    channel shards (see PallasTables)."""
+    m = np.zeros((N_CC, max(nd, 1)))
     z = lambda a: np.asarray(a, np.float64)
     m[0, :nd] = np.where(cc.co2_mask, z(cc.co2_cw296), 0)
     m[1, :nd] = np.where(cc.co2_mask, z(cc.co2_cw260), 0)
@@ -183,10 +227,11 @@ def pack_continua(cc, window: np.ndarray, nd: int) -> jax.Array:
     m[9, :nd] = np.where(cc.n2_mask, z(cc.n2_beta), 0)
     m[10, :nd] = np.where(cc.o2_mask, z(cc.o2_b), 0)
     m[11, :nd] = np.where(cc.o2_mask, z(cc.o2_beta), 0)
-    W = int(np.max(window)) + 1 if len(window) else 1
-    oh = np.zeros((W, Dp))
+    W = max(int(np.max(window)) + 1 if len(window) else 1, nw, 1)
+    oh = np.zeros((W, max(nd, 1)))
     oh[np.asarray(window, int), np.arange(nd)] = 1.0
-    return jnp.asarray(np.concatenate([m, oh], 0), jnp.float32)
+    rows = shard_lanes(np.concatenate([m, oh], 0), n_chan)
+    return jnp.asarray(rows, jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +270,45 @@ def _corner_indices(p_ax, t_ax, np_u, nt_u, p_seg, t_seg):
     ipt00 = ipr * T + it0
     ipt10 = (ipr + 1) * T + it1
     return jnp.stack([ipt00, ipt10], axis=-1).astype(jnp.int32)
+
+
+def _pack_corner_meta(idx):
+    """Fold the per-segment corner DMA schedule into the index stream.
+
+    Consecutive LOS segments mostly bracket the SAME (p, T) cell (a
+    40x30 grid vs ~400 segments), so re-issuing all corner-pair DMAs
+    every segment wastes multi-x HBM traffic -- the reuse the reference
+    gets for free from the GPU read-only cache (__ldg,
+    jr_common.h:307-313).  Per (ray, segment, gas, pair) we precompute:
+
+      chg  -- 1 iff the pair index differs from the previous segment
+              (segment 0 always fetches);
+      buf  -- which of two VMEM slab buffers holds this pair's rows:
+              (number of changes so far - 1) mod 2, so a newly fetched
+              slab always lands in the buffer NOT being read.
+
+    Packed as ``ipt * 4 + buf * 2 + chg`` (ipt < P*T <= 1200, so the
+    packed value stays far inside int32) -- zero extra SMEM.
+
+    idx: [R, S, G, 2] int32 corner-pair start rows."""
+    chg = jnp.concatenate(
+        [jnp.ones_like(idx[:, :1]),
+         (idx[:, 1:] != idx[:, :-1]).astype(jnp.int32)], axis=1)
+    buf = (jnp.cumsum(chg, axis=1) - 1) % 2
+    return idx * 4 + buf * 2 + chg
+
+
+def dma_pair_count(idx, np_, nlos) -> jax.Array:
+    """Number of corner-pair DMAs the kernel will actually issue
+    (roofline bytes-moved model): changed pairs within each ray's
+    active LOS bound.  idx: [R, S, G, 2]; np_: [R]."""
+    chg = jnp.concatenate(
+        [jnp.ones_like(idx[:, :1]),
+         (idx[:, 1:] != idx[:, :-1]).astype(jnp.int32)], axis=1)
+    nb = jnp.clip(np_, 1, nlos)
+    s_iota = jnp.arange(idx.shape[1])[None, :, None, None]
+    active = s_iota < nb[:, None, None, None]
+    return jnp.sum(jnp.where(active, chg, 0))
 
 
 def _pack_segments(los, ig_co2: int, ig_h2o: int):
@@ -278,26 +362,40 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
         # so the prefetch issued before the loop is always consumed
         nb = jnp.clip(np_ref[0, 0, 0], 1, S)
 
-        def copies(s, buf):
-            cps = []
+        def meta(s, g, c):
+            """(ipt, buf, chg) for one corner pair (_pack_corner_meta)."""
+            v = idx_ref[0, 0, s * (G * 2) + g * 2 + c]
+            return v >> 2, (v >> 1) & 1, v & 1
+
+        def copy(ipt, b, g, c):
+            return pltpu.make_async_copy(
+                eps_hbm.at[g, pl.ds(ipt, 2)],
+                slab.at[b, g, pl.ds(2 * c, 2)],
+                sem.at[b, g, c])
+
+        def start(s):
+            """Issue DMAs only for pairs whose cell changed at s; a new
+            slab lands in the buffer the current segment is NOT reading
+            (buf parity from the prologue), so the fetch of segment
+            s+1's cells overlaps segment s's compute."""
             for g in range(G):
                 for c in range(2):
-                    ipt = idx_ref[0, 0, s * (G * 2) + g * 2 + c]
-                    cps.append(pltpu.make_async_copy(
-                        eps_hbm.at[g, pl.ds(ipt, 2)],
-                        slab.at[buf, g, pl.ds(2 * c, 2)],
-                        sem.at[buf, g, c]))
-            return cps
+                    ipt, b, chg = meta(s, g, c)
 
-        def start(s, buf):
-            for cp in copies(s, buf):
-                cp.start()
+                    @pl.when(chg == 1)
+                    def _(ipt=ipt, b=b, g=g, c=c):
+                        copy(ipt, b, g, c).start()
 
-        def wait(s, buf):
-            for cp in copies(s, buf):
-                cp.wait()
+        def wait(s):
+            for g in range(G):
+                for c in range(2):
+                    ipt, b, chg = meta(s, g, c)
 
-        start(0, 0)
+                    @pl.when(chg == 1)
+                    def _(ipt=ipt, b=b, g=g, c=c):
+                        copy(ipt, b, g, c).wait()
+
+        start(0)
 
         def row_lookup(row, l2u0, nk2, target, u_seg):
             """One (p,T) corner: eps->u inversion + eps(u + u_seg)
@@ -329,13 +427,12 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 
         def body(s, carry):
             rad, tau, tau_path = carry
-            nbuf, buf = (s + 1) % 2, s % 2
 
             @pl.when(s + 1 < nb)
             def _():
-                start(s + 1, nbuf)
+                start(s + 1)
 
-            wait(s, buf)
+            wait(s)
 
             sb = s * SEGW
             valid_s = seg_ref[0, 0, sb + 0] > 0.0
@@ -387,21 +484,24 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                 tp = tau_path[g]
                 target = 1.0 - tp
                 u_seg = useg_ref[0, 0, s * G + g]
+                _, b0, _ = meta(s, g, 0)
+                _, b1, _ = meta(s, g, 1)
                 eps_c = []
                 okl = cm_ref[g]
                 for c in range(4):
-                    row = slab[buf, g, c, :K, :]
-                    l2u0 = slab[buf, g, c, K, :]
-                    nk2 = slab[buf, g, c, K + 4, :].astype(jnp.int32)
+                    b = b0 if c < 2 else b1
+                    row = slab[b, g, c, :K, :]
+                    l2u0 = slab[b, g, c, K, :]
+                    nk2 = slab[b, g, c, K + 4, :].astype(jnp.int32)
                     eps_c.append(row_lookup(row, l2u0, nk2, target, u_seg))
-                    okl = okl * slab[buf, g, c, K + 3, :]
+                    okl = okl * slab[b, g, c, K + 3, :]
                 # bilinear: t within each p row, then p (jr_common.h:259-265)
-                t00 = slab[buf, g, 0, K + 1, :]
-                t01 = slab[buf, g, 1, K + 1, :]
-                t10 = slab[buf, g, 2, K + 1, :]
-                t11 = slab[buf, g, 3, K + 1, :]
-                p0 = slab[buf, g, 0, K + 2, :]
-                p1 = slab[buf, g, 2, K + 2, :]
+                t00 = slab[b0, g, 0, K + 1, :]
+                t01 = slab[b0, g, 1, K + 1, :]
+                t10 = slab[b1, g, 2, K + 1, :]
+                t11 = slab[b1, g, 3, K + 1, :]
+                p0 = slab[b0, g, 0, K + 2, :]
+                p1 = slab[b1, g, 2, K + 2, :]
                 eps_p0 = _c01(_lipg(t00, eps_c[0], t01, eps_c[1], t_s))
                 eps_p1 = _c01(_lipg(t10, eps_c[2], t11, eps_c[3], t_s))
                 eps_t = _c01(_lipg(p0, eps_p0, p1, eps_p1, p_s))
@@ -451,9 +551,9 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     W = los.k.shape[2]
     n_src = pt.sr.shape[0]
 
-    idx = _corner_indices(
+    idx = _pack_corner_meta(_corner_indices(
         jnp.asarray(pt.p_ax, los.p.dtype), jnp.asarray(pt.t_ax, los.p.dtype),
-        jnp.asarray(pt.np_u), jnp.asarray(pt.nt_u), los.p, los.t)
+        jnp.asarray(pt.np_u), jnp.asarray(pt.nt_u), los.p, los.t))
     seg = _pack_segments(los, ig_co2, ig_h2o)
     useg = los.u.astype(jnp.float32)
 

@@ -12,22 +12,30 @@ with a rays-sharded layout so the whole jitted pipeline -- ray tracing
 AND the RT integration -- runs SPMD with no per-step collectives (the
 forward model is collective-free by construction; the mesh exists for
 table broadcast and result gather).
+
+Kernel parity with the single-chip driver: the fused Pallas kernel is
+the production path here too, dispatched per shard through
+``jax.shard_map`` (the analogue of the reference launching its fusion
+kernel on every device, ``cudaSetDevice(MPIlocalrank)`` +
+``formod_one_package``, GPUdrivers.cu:262-360).  The jnp scan pipeline
+partitions automatically under GSPMD and needs no explicit mapping.
 """
 from __future__ import annotations
 
-import dataclasses
+from functools import partial
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Ctl
-from ..forward import ForwardModel, RtOut, formod_fov, rt_integrate
+from ..forward import ForwardModel, RtOut, rt_pallas_core
 from ..geometry import (LosData, RayProfiles, build_ray_profiles,
                         hydrostatic_atm, trace_rays)
 from ..io_tab import Atm, Obs
+from ..ops.pallas.ega_fused import PallasTables
 from ..tables import EgaTables
-from .mesh import (CHAN_AXIS, RAY_AXIS, chan_minor_sharding, pad_to,
+from .mesh import (CHAN_AXIS, RAY_AXIS, chan_minor_sharding,
                    ray_sharding, replicated)
 
 
@@ -44,13 +52,83 @@ def _place_tables(mesh: Mesh, model: ForwardModel) -> None:
     model.window = put(model.window, chan_minor_sharding(mesh, 1))
     model.cc = type(model.cc)(*(
         put(leaf, chan_minor_sharding(mesh, 1)) for leaf in model.cc))
+    if model.kernel_mode == "pallas":
+        pt = model.pallas_tbl
+        model.pallas_tbl = pt._replace(
+            eps_aug=put(pt.eps_aug, NamedSharding(
+                mesh, P(None, None, None, CHAN_AXIS))),
+            sr=put(pt.sr, chan_minor_sharding(mesh, 2)),
+            chan_mask=put(pt.chan_mask, chan_minor_sharding(mesh, 2)),
+            p_ax=put(pt.p_ax, replicated(mesh)),
+            t_ax=put(pt.t_ax, replicated(mesh)),
+            np_u=put(pt.np_u, replicated(mesh)),
+            nt_u=put(pt.nt_u, replicated(mesh)))
+        model.cc_rows = put(model.cc_rows, chan_minor_sharding(mesh, 2))
+
+
+def _pallas_in_specs(pt: PallasTables):
+    """shard_map in_specs: lane (channel-shard) axes split over "chan",
+    ray-major arrays over "rays", axes/scalars replicated."""
+    pt_specs = PallasTables(
+        eps_aug=P(None, None, None, CHAN_AXIS),
+        sr=P(None, CHAN_AXIS), chan_mask=P(None, CHAN_AXIS),
+        p_ax=P(), t_ax=P(), np_u=P(), nt_u=P(),
+        k_rows=pt.k_rows, d_true=pt.d_true, n_chan=pt.n_chan)
+    r1, r2, r3 = P(RAY_AXIS), P(RAY_AXIS, None), P(RAY_AXIS, None, None)
+    los_specs = LosData(
+        z=r2, lon=r2, lat=r2, p=r2, t=r2, q=r3, k=r3, ds=r2, u=r3,
+        valid=r2, np_=r1, tsurf=r1, tpz=r1, tplon=r1, tplat=r1)
+    return (pt_specs,
+            P(None, CHAN_AXIS),      # cc_rows
+            P(None, CHAN_AXIS),      # sr (unpadded [S, D])
+            P(),                     # st
+            P(CHAN_AXIS),            # nu
+            los_specs,
+            r1)                      # tsurf
+
+
+def make_sharded_pallas_fn(mesh: Mesh, pt: PallasTables, flags,
+                           ig_co2: int, ig_h2o: int, bbt: bool,
+                           interpret: bool):
+    """jit(shard_map(...)) of the fused-Pallas RT step over the
+    ("rays", "chan") mesh: every shard runs the SAME kernel the
+    single-chip driver runs (rt_pallas_core) on its ray/channel block.
+    The per-shard PallasTables carry per-shard statics (d_true is the
+    per-shard channel count), so the kernel body needs no mesh
+    awareness at all."""
+    out_specs = RtOut(rad=P(RAY_AXIS, CHAN_AXIS),
+                      tau=P(RAY_AXIS, CHAN_AXIS))
+    body = partial(rt_pallas_core, flags=flags, ig_co2=ig_co2,
+                   ig_h2o=ig_h2o, bbt=bbt, interpret=interpret)
+    try:
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=_pallas_in_specs(pt),
+                           out_specs=out_specs, check_vma=False)
+    except TypeError:      # older jax: check_rep instead of check_vma
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=_pallas_in_specs(pt),
+                           out_specs=out_specs, check_rep=False)
+    return jax.jit(fn)
 
 
 def global_put(x, sharding):
-    """Place host data with a sharding, multi-host aware.
+    """Place a full host copy of the data with a sharding, multi-host
+    aware.
 
-    Single-process: plain ``device_put``.  Multi-host (after
-    mesh.init_distributed): each process passes its PER-PROCESS slice of
+    Single-process: plain ``device_put``.  Multi-process (after
+    mesh.init_distributed): every process holds the same full host array
+    (the drop-in formod contract) and contributes only the shards its
+    local devices own (``jax.make_array_from_callback`` materialises
+    per-shard slices, so no device ever sees the full batch)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def global_put_local(x_local, global_shape, sharding):
+    """Place PER-PROCESS data: each process passes only its own slice of
     the ray axis and the pieces assemble into one global array without
     any host holding the full batch
     (``jax.make_array_from_process_local_data`` — the per-host input
@@ -58,23 +136,19 @@ def global_put(x, sharding):
     upstream MPI harness partitions the obs batch externally the same
     way)."""
     if jax.process_count() == 1:
-        return jax.device_put(x, sharding)
-    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(np.asarray(x_local), sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(x_local), global_shape)
 
 
-def pad_obs(obs: Obs, r_pad: int) -> Obs:
-    """Pad the ray axis to the mesh multiple by repeating the last ray
-    (cheap, discarded after the gather; keeps every shard's geometry
-    well-posed so the tracer never sees degenerate inputs)."""
-    r = obs.nr
-    if r == r_pad:
-        return obs
-    fields = {}
-    for f in dataclasses.fields(Obs):
-        arr = np.asarray(getattr(obs, f.name))
-        reps = (r_pad - r,) + (1,) * (arr.ndim - 1)
-        fields[f.name] = np.concatenate([arr, np.tile(arr[-1:], reps)])
-    return Obs(**fields)
+def host_gather(x) -> np.ndarray:
+    """Distributed device array -> full host array on EVERY process
+    (the result-gather of SURVEY section 5's distributed backend; the
+    forward model itself stays collective-free)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 class ShardedForwardModel(ForwardModel):
@@ -83,26 +157,34 @@ class ShardedForwardModel(ForwardModel):
     Drop-in for :class:`ForwardModel`; single-device behaviour is the
     degenerate 1x1 mesh.  Channel sharding requires ``nd`` divisible by
     the mesh's chan extent (channels are never padded because the
-    channel set is part of the physics configuration).
+    channel set is part of the physics configuration).  formod
+    (including the RAYPACK package pipelining) is inherited: the ray
+    axis pads to the mesh multiple via ``ray_multiple``.
     """
 
     def __init__(self, ctl: Ctl, mesh: Mesh, tables: EgaTables | None = None,
                  directory: str = ".", dtype=None, fast_tables=None):
-        super().__init__(ctl, tables, directory, dtype,
-                         fast_tables=fast_tables)
-        self.mesh = mesh
-        self.n_ray_shards = mesh.shape[RAY_AXIS]
         n_chan = mesh.shape[CHAN_AXIS]
         if ctl.nd % n_chan != 0:
             raise ValueError(
                 f"ND={ctl.nd} not divisible by chan mesh axis {n_chan}")
+        super().__init__(ctl, tables, directory, dtype,
+                         fast_tables=fast_tables, pallas_n_chan=n_chan)
+        self.mesh = mesh
+        self.n_ray_shards = mesh.shape[RAY_AXIS]
+        self.ray_multiple = self.n_ray_shards
         _place_tables(mesh, self)
+        if self.kernel_mode == "pallas":
+            self._pallas_sharded = make_sharded_pallas_fn(
+                mesh, self.pallas_tbl, self.flags, self.ig_co2,
+                self.ig_h2o, bool(ctl.write_bbt), self.pallas_interpret)
 
-    def trace(self, atm: Atm, obs: Obs) -> LosData:
+    def trace(self, atm: Atm, obs: Obs, hydro: bool = True) -> LosData:
         """Rays-sharded tracing: profiles and observer geometry are placed
         with ``P("rays", ...)`` so the jitted tracer (a vmap over rays)
         partitions over the mesh; output shardings propagate."""
-        hydrostatic_atm(self.ctl, atm)
+        if hydro:
+            hydrostatic_atm(self.ctl, atm)
         prof = build_ray_profiles(self.ctl, atm, obs, self.dtype)
         prof = RayProfiles(*(
             global_put(leaf, ray_sharding(self.mesh, np.ndim(leaf)))
@@ -115,27 +197,11 @@ class ShardedForwardModel(ForwardModel):
         return trace_rays(self.ctl, prof, obs_geo, self.dtype)
 
     def integrate(self, los: LosData) -> RtOut:
-        return rt_integrate(
-            self.dev_tbl, self.sr, self.st, self.nu, self.cc, self.window,
-            los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
-            self.use_fast, bool(self.ctl.write_bbt))
+        if self.kernel_mode == "pallas":
+            return self._pallas_sharded(
+                self.pallas_tbl, self.cc_rows, self.sr, self.st, self.nu,
+                los, los.tsurf)
+        return super().integrate(los)
 
-    def formod(self, atm: Atm, obs: Obs) -> Obs:
-        ctl = self.ctl
-        if ctl.checkmode:
-            print(f"# formod: checkmode = {ctl.checkmode}, "
-                  "no actual computation is performed!")
-            return obs
-        mask = ~np.isfinite(obs.rad)                  # save_mask
-        r = obs.nr
-        obs_p = pad_obs(obs, pad_to(r, self.n_ray_shards))
-        los = self.trace(atm, obs_p)
-        out = self.integrate(los)
-        obs.rad = np.array(out.rad, np.float64)[:r]
-        obs.tau = np.array(out.tau, np.float64)[:r]
-        obs.tpz = np.array(los.tpz, np.float64)[:r]
-        obs.tplon = np.array(los.tplon, np.float64)[:r]
-        obs.tplat = np.array(los.tplat, np.float64)[:r]
-        formod_fov(ctl, obs)
-        obs.rad[mask] = np.nan                        # apply_mask
-        return obs
+    def _to_host(self, x) -> np.ndarray:
+        return host_gather(x).astype(np.float64)

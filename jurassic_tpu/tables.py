@@ -288,7 +288,27 @@ def load_source_table(ctl: Ctl, directory: str | Path = "."):
 # keyed by a config hash replaces the reference's self-describing header.
 
 def cache_filename(ctl: Ctl, directory: str | Path = ".") -> Path:
-    return Path(directory) / f"jurassic_tpu_tables_{ctl.table_hash}.npz"
+    """Cache file keyed by config identity AND source-file freshness.
+
+    The reference's header check revalidates dims on load
+    (jr_binary_tables_io.h:65-211) but would serve stale payloads for
+    regenerated same-named tables; here the key folds in each table
+    file's (size, mtime) so a regenerated table can never hit a stale
+    cache."""
+    import hashlib
+    stats = []
+    for idx in range(ctl.nd):
+        for gas in ctl.emitter[:ctl.ng]:
+            fn = Path(directory) / table_filename(ctl.tblbase, ctl.nu[idx],
+                                                  gas)
+            try:
+                st = fn.stat()
+                stats.append(f"{st.st_size}:{st.st_mtime_ns}")
+            except OSError:
+                stats.append("absent")
+    h = hashlib.sha256(
+        (ctl.table_hash + "|" + "|".join(stats)).encode()).hexdigest()[:16]
+    return Path(directory) / f"jurassic_tpu_tables_{h}.npz"
 
 
 def load_tables_cached(ctl: Ctl, directory: str | Path = ".",

@@ -34,9 +34,9 @@ def timer(name: str, mode: int, _caller=None) -> float:
     func = frame.function
     dt_w = 0.0
     if mode == 1:
-        _stack.append((time.time(), line))
-        if len(_stack) > MAX_TIMERS:
+        if len(_stack) >= MAX_TIMERS:
             raise RuntimeError(f"Too many timers! max. is {MAX_TIMERS}")
+        _stack.append((time.time(), line))
     else:
         if not _stack:
             raise RuntimeError("Coding error!")

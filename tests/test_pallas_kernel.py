@@ -88,6 +88,35 @@ def test_pallas_rejects_ragged_tables():
         assert m.kernel_mode == "jax"
 
 
+def test_pallas_declared_but_unreferenced_windows():
+    """ctl.nw larger than max(window)+1 (declared windows that no
+    channel references): the kernel statically reads one continuum row
+    per declared window, so pack_continua must size the one-hot block
+    by nw -- an undersized block made the kernel read out of bounds
+    (ADVICE r2).  The pallas and jnp paths must agree."""
+    ctl = synthetic_ctl(ng=2, nd=4)
+    ctl.nlos = 32
+    ctl.rayds, ctl.raydz = 60.0, 6.0
+    ctl.nw = 2
+    ctl.window = [0, 0, 0, 0]          # window 1 declared, unreferenced
+    ft = synthetic_fast_tables(ctl, n_p=6, n_t=4, n_k=32)
+    atm = synthetic_atm(ctl)
+    atm.k = np.full((ctl.nw, atm.npts), 1e-4)   # nonzero extinction
+    obs = limb_workload(ctl, 4)
+
+    ctl.kernel = "jax"
+    m_jax = ForwardModel(ctl, fast_tables=ft)
+    los = m_jax.trace(atm, obs)
+    out_jax = m_jax.integrate(los)
+
+    ctl.kernel = "pallas"
+    m_pal = ForwardModel(ctl, fast_tables=ft)
+    out_pal = m_pal.integrate(los)
+    rad0 = np.asarray(out_jax.rad)
+    scale = np.abs(rad0).max()
+    assert np.abs(np.asarray(out_pal.rad) - rad0).max() <= 1e-5 * scale
+
+
 def test_pallas_exact_cross_validation():
     """Pallas vs the exact reference-faithful oracle on materialized
     synthetic tables (fast-vs-exact tolerance, FAST_INVERSE_OF_U)."""

@@ -45,6 +45,20 @@ def test_timed_context(capsys):
     assert "silent" not in capsys.readouterr().out
 
 
+def test_formod_selector_guard():
+    """FORMOD != 2 must fail loudly: the reference ships only EGA and
+    hard-asserts on the CGA selector (jr_common.h:701-707); RFM is
+    declared but unimplemented there too."""
+    ctl = synthetic_ctl(ng=2, nd=4)
+    ft = synthetic_fast_tables(ctl, n_p=6, n_t=4, n_k=32)
+    for sel in (1, 3):
+        ctl.formod = sel
+        with pytest.raises(ValueError, match="FORMOD"):
+            ForwardModel(ctl, fast_tables=ft)
+    ctl.formod = 2
+    ForwardModel(ctl, fast_tables=ft)
+
+
 def test_raypack_bitwise_identical():
     """Packaged execution pads the last package by repeating the final
     ray, so every package shares one compiled shape and the results are
