@@ -121,14 +121,10 @@ def locate_atm(time_arr: np.ndarray, time: float) -> tuple[int, int]:
     return lower, upper - lower
 
 
-def build_ray_profiles(ctl: Ctl, atm: Atm, obs: Obs,
-                       dtype=jnp.float64) -> RayProfiles:
-    if ctl.ip != 1:
-        raise NotImplementedError(
-            "Only IP=1 (vertical profile) is supported on the accelerated "
-            "path, matching the reference device path "
-            "(jr_common.h:573,581). ForwardModel dispatches IP=2/3 to the "
-            "host pencil path (ForwardModel.pencil_trace) automatically.")
+def ray_window_indices(atm: Atm, obs: Obs):
+    """Per-ray atm window (time-block bisection per unique time stamp):
+    (idx, cnt, gi) with gi the [R, L] clamped gather index matrix that
+    maps the flat atm point axis onto per-ray profiles."""
     nr = obs.nr
     idx = np.zeros(nr, dtype=np.int64)
     cnt = np.zeros(nr, dtype=np.int64)
@@ -140,12 +136,27 @@ def build_ray_profiles(ctl: Ctl, atm: Atm, obs: Obs,
             win_cache[key] = locate_atm(atm.time, key)
         idx[ir], cnt[ir] = win_cache[key]
     L = int(cnt.max())
+    ar = np.arange(L)
+    gi = np.minimum(idx[:, None] + ar, idx[:, None] + cnt[:, None] - 1)
+    return idx, cnt, gi
+
+
+def build_ray_profiles(ctl: Ctl, atm: Atm, obs: Obs,
+                       dtype=jnp.float64) -> RayProfiles:
+    if ctl.ip != 1:
+        raise NotImplementedError(
+            "Only IP=1 (vertical profile) is supported on the accelerated "
+            "path, matching the reference device path "
+            "(jr_common.h:573,581). ForwardModel dispatches IP=2/3 to the "
+            "host pencil path (ForwardModel.pencil_trace) automatically.")
+    nr = obs.nr
+    idx, cnt, gi = ray_window_indices(atm, obs)
+    L = gi.shape[1]
 
     # vectorized window gather with clamped indices; padding beyond each
     # window keeps the last level (and an ascending z so the interval
     # search stays clamped)
     ar = np.arange(L)
-    gi = np.minimum(idx[:, None] + ar, idx[:, None] + cnt[:, None] - 1)
     pad = ar[None, :] >= cnt[:, None]
     z = atm.z[gi] + np.where(pad, (ar[None, :] - cnt[:, None] + 1) * 1e6, 0.0)
     p = atm.p[gi]

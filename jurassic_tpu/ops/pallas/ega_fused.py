@@ -342,9 +342,15 @@ def _c01(x):
 
 
 def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
-                 flags, ig_co2: int, ig_h2o: int, n_src: int):
+                 flags, ig_co2: int, ig_h2o: int, n_src: int,
+                 use_gather: bool = False):
     """Build the kernel body with all shape/config statics burned in
-    (the analogue of the 16-way multiversioning, jr_multiversion4gases.h)."""
+    (the analogue of the 16-way multiversioning, jr_multiversion4gases.h).
+
+    ``use_gather``: extract eps-row values at dynamic per-lane indices
+    with take_along_axis (Mosaic dynamic-gather) instead of masked
+    O(K) reductions -- fewer full-row passes per corner when the
+    backend lowers sublane gathers efficiently."""
     f_co2, f_h2o, f_n2, f_o2 = flags
     R6 = np.float32(LOG2_RATIO_U)
     RATIO = np.float32(2.0 ** LOG2_RATIO_U)
@@ -397,6 +403,21 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 
         start(0)
 
+        def bracket(row, i):
+            """(row[i], row[i+1]) per lane.  Masked-reduction form: one
+            complement mask feeds both the max and the min (monotone
+            rows with BIG padding make extraction a masked max/min).
+            Gather form: two dynamic sublane gathers."""
+            if use_gather:
+                lo = jnp.take_along_axis(row, i[None, :], axis=0)[0]
+                hi = jnp.take_along_axis(
+                    row, jnp.minimum(i + 1, K - 1)[None, :], axis=0)[0]
+                return lo, hi
+            m = iota_k <= i[None]
+            lo = jnp.max(jnp.where(m, row, -BIG), axis=0)
+            hi = jnp.min(jnp.where(m, BIG, row), axis=0)
+            return lo, hi
+
         def row_lookup(row, l2u0, nk2, target, u_seg):
             """One (p,T) corner: eps->u inversion + eps(u + u_seg)
             re-lookup on the log-uniform grid (get_u/get_eps,
@@ -407,9 +428,7 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             # invert: index of last eps <= target (locate_tbl_id)
             cnt = jnp.sum((row <= target).astype(jnp.int32), axis=0)
             i = jnp.clip(cnt - 1, 0, nk2)
-            e0 = jnp.max(jnp.where(iota_k <= i[None], row, -BIG), axis=0)
-            e1 = jnp.min(jnp.where(iota_k >= (i + 1)[None], row, BIG),
-                         axis=0)
+            e0, e1 = bracket(row, i)
             fi = i.astype(jnp.float32)
             u0 = jnp.exp2(l2u0 + fi * R6)
             u_c = _lipg(e0, u0, e1, u0 * RATIO, target)
@@ -418,9 +437,7 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             kf = (jnp.log2(jnp.maximum(u_new, 1e-37)) - l2u0) / R6
             kf = jnp.clip(kf, 0.0, np.float32(K))
             ki = jnp.minimum(kf.astype(jnp.int32), nk2)
-            e_lo = jnp.max(jnp.where(iota_k <= ki[None], row, -BIG), axis=0)
-            e_hi = jnp.min(jnp.where(iota_k >= (ki + 1)[None], row, BIG),
-                           axis=0)
+            e_lo, e_hi = bracket(row, ki)
             fk = ki.astype(jnp.float32)
             u_lo = jnp.exp2(l2u0 + fk * R6)
             return _c01(_lipg(u_lo, e_lo, u_lo * RATIO, e_hi, u_new))
@@ -537,7 +554,8 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 
 def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
                     ig_co2: int, ig_h2o: int,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    use_gather: bool | None = None):
     """Run the fused kernel over all rays; returns (rad, tau) [R, D] f32.
 
     The grid iterates rays (sequential on a TPU core, pipelined block
@@ -557,8 +575,11 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     seg = _pack_segments(los, ig_co2, ig_h2o)
     useg = los.u.astype(jnp.float32)
 
+    if use_gather is None:
+        import os
+        use_gather = bool(int(os.environ.get("JURASSIC_PALLAS_GATHER", "0")))
     kernel = _make_kernel(G, S, K, K_aug, Dp, W, tuple(flags),
-                          ig_co2, ig_h2o, n_src)
+                          ig_co2, ig_h2o, n_src, use_gather)
 
     slab_bytes = 2 * G * 4 * K_aug * Dp * 4
     vlim = slab_bytes + pt.sr.size * 4 + 4 * 1024 * 1024

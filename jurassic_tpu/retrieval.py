@@ -165,24 +165,25 @@ def kernel_autodiff(ctl: Ctl, atm: Atm, obs: Obs,
     The TPU-native upgrade over the reference's n+1 forward models
     (SURVEY.md 3.4): one compiled forward-mode pass differentiates the
     raytrace (column densities, refraction) and the RT integration jointly.
-    Supports the accelerated path's atmosphere model (IP=1, a single
-    vertical profile shared by all rays — the device fast path,
-    jr_common.h:573,581).  HYDZ >= 0 runs the differentiable
-    hydrostatic rebuild (geometry.hydrostatic_profile_jnp) inside the
-    traced graph, so pressure derivatives flow through the rebuild
-    exactly as the FD kernel sees them.
+    Supports the accelerated path's atmosphere model (IP=1): single- OR
+    multi-profile atmospheres (satellite-track batches where each scan's
+    time stamp selects its profile, locate_atm, jr_common.h:128-154) —
+    the state vector scatters into the flat atm point axis and per-ray
+    profiles are differentiable gathers through the same window indices
+    the tracer uses.  HYDZ >= 0 runs the differentiable hydrostatic
+    rebuild (geometry.hydrostatic_profile_jnp) per (lon, lat) profile
+    inside the traced graph, so pressure derivatives flow through the
+    rebuild exactly as the FD kernel sees them.
     """
     import jax
     import jax.numpy as jnp
 
     from .forward import ForwardModel, rt_integrate
     from .geometry import (LosData, build_ray_profiles,
-                           hydrostatic_profile_jnp, trace_rays)
+                           hydrostatic_profile_jnp, ray_window_indices,
+                           trace_rays)
     from .geometry import _trace_rays_jit  # noqa: F401 (compiled cache)
 
-    if np.unique(atm.time).size != 1:
-        raise NotImplementedError(
-            "kernel_autodiff supports a single-profile atmosphere (IP=1)")
     if model is None:
         model = ForwardModel(ctl)
 
@@ -192,15 +193,27 @@ def kernel_autodiff(ctl: Ctl, atm: Atm, obs: Obs,
     x0, iqa, ipa = atm2x(ctl, atm)
     dtype = model.dtype
     ig_h2o = ctl.emitter_index("H2O")
-    lat_ref = float(atm.lat[int(np.argmin(np.abs(atm.z - ctl.hydz)))])
+    # (lon, lat) profile blocks for the in-graph hydrostatic rebuild
+    # (same split as hydrostatic_atm / the reference's hydrostatic,
+    # jurassic.c:263-276)
+    blocks = []
+    if ctl.hydz >= 0:
+        lon0 = lat0 = -999.0
+        ip0 = 0
+        for ip in range(atm.npts):
+            if atm.lon[ip] != lon0 or atm.lat[ip] != lat0:
+                if ip > 0:
+                    blocks.append((ip0, ip))
+                lon0, lat0, ip0 = atm.lon[ip], atm.lat[ip], ip
+        blocks.append((ip0, atm.npts))
 
+    _, _, gi = ray_window_indices(atm, obs)
+    gi = jnp.asarray(gi)
     prof0 = build_ray_profiles(ctl, atm, obs, dtype)
     obs_geo = dict(
         obsz=jnp.asarray(obs.obsz, dtype), obslon=jnp.asarray(obs.obslon, dtype),
         obslat=jnp.asarray(obs.obslat, dtype), vpz=jnp.asarray(obs.vpz, dtype),
         vplon=jnp.asarray(obs.vplon, dtype), vplat=jnp.asarray(obs.vplat, dtype))
-
-    npts = atm.npts
 
     # static per-quantity index groups -> one vectorized scatter each
     # (O(1) graph nodes regardless of state size)
@@ -227,15 +240,23 @@ def kernel_autodiff(ctl: Ctl, atm: Atm, obs: Obs,
         if selk.any():
             k = k.at[iqa[selk] - 2 - ctl.ng, ipa[selk]].set(x[jidx[selk]])
         if ctl.hydz >= 0:
-            qh = q[ig_h2o] if ig_h2o >= 0 else None
-            p = hydrostatic_profile_jnp(ctl.hydz, atm.z, p, t, qh, lat_ref)
-        R = obs.nr
+            parts = []
+            for (a, b) in blocks:
+                qh = q[ig_h2o, a:b] if ig_h2o >= 0 else None
+                lat_ref = float(atm.lat[a:b][int(np.argmin(
+                    np.abs(atm.z[a:b] - ctl.hydz)))])
+                parts.append(hydrostatic_profile_jnp(
+                    ctl.hydz, atm.z[a:b], p[a:b], t[a:b], qh, lat_ref))
+            p = jnp.concatenate(parts)
+        # per-ray profiles: differentiable gathers through the same
+        # window indices the tracer's host prep uses (multi-profile
+        # atmospheres pick each scan's profile by time stamp)
         prof = prof0._replace(
             z=prof0.z, nlev=prof0.nlev, zmin=prof0.zmin, zmax=prof0.zmax,
-            p=jnp.broadcast_to(p, (R, npts)),
-            t=jnp.broadcast_to(t, (R, npts)),
-            q=jnp.broadcast_to(q, (R, ctl.ng, npts)),
-            k=jnp.broadcast_to(k, (R, ctl.nw, npts)))
+            p=p[gi],
+            t=t[gi],
+            q=jnp.moveaxis(q[:, gi], 0, 1),
+            k=jnp.moveaxis(k[:, gi], 0, 1))
         los: LosData = trace_rays(ctl, prof, obs_geo, dtype)
         out = rt_integrate(
             model.dev_tbl, model.sr, model.st, model.nu, model.cc,

@@ -88,6 +88,31 @@ def test_pallas_rejects_ragged_tables():
         assert m.kernel_mode == "jax"
 
 
+def test_pallas_gather_extraction_bitwise():
+    """The gather-based row extraction (use_gather) must match the
+    masked-reduction form: monotone rows with BIG padding make
+    row[i]/row[i+1] extraction exact either way, so the only remaining
+    difference is FMA/fusion formation across the two traces (~1e-7
+    relative float32 noise, NOT index semantics)."""
+    from jurassic_tpu.ops.pallas import rt_fused_pallas
+
+    ctl = synthetic_ctl(ng=3, nd=6)
+    ctl.nlos = 40
+    ctl.rayds, ctl.raydz = 60.0, 6.0
+    ft = synthetic_fast_tables(ctl, n_p=7, n_t=5, n_k=48)
+    atm = synthetic_atm(ctl)
+    obs = limb_workload(ctl, 5)
+    ctl.kernel = "pallas"
+    m = ForwardModel(ctl, fast_tables=ft)
+    los = m.trace(atm, obs)
+    args = (m.pallas_tbl, m.cc_rows, los, m.flags, m.ig_co2, m.ig_h2o)
+    rad_m, tau_m = rt_fused_pallas(*args, interpret=True, use_gather=False)
+    rad_g, tau_g = rt_fused_pallas(*args, interpret=True, use_gather=True)
+    scale = np.abs(np.asarray(rad_m)).max()
+    assert np.abs(np.asarray(rad_m) - np.asarray(rad_g)).max() <= 1e-6 * scale
+    assert np.abs(np.asarray(tau_m) - np.asarray(tau_g)).max() <= 1e-6
+
+
 def test_pallas_declared_but_unreferenced_windows():
     """ctl.nw larger than max(window)+1 (declared windows that no
     channel references): the kernel statically reads one continuum row

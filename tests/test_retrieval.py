@@ -102,6 +102,58 @@ def test_fd_vs_autodiff_hydrostatic_large_state():
     np.testing.assert_allclose(K_fd, K_ad, atol=2e-2 * scale, rtol=0.05)
 
 
+def test_fd_vs_autodiff_multi_profile():
+    """Multi-profile atmosphere (satellite-track batch: two scans with
+    distinct time stamps, each with its own (lon, lat) profile): the
+    autodiff Jacobian must scatter the state into the right profile and
+    gather per-ray profiles by scan time exactly like the FD kernel's
+    full forward models do (locate_atm, jr_common.h:128-154)."""
+    from jurassic_tpu.io_tab import Atm
+
+    ctl = synthetic_ctl(ng=2, nd=3)
+    ctl.nlos = 96
+    ctl.rayds = 50.0
+    ctl.raydz = 5.0
+    ctl.hydz = 20.0
+    ctl.rett_zmin, ctl.rett_zmax = 10.0, 40.0
+    ctl.retq_zmin = [-999.0, 10.0]
+    ctl.retq_zmax = [-999.0, 40.0]
+    a0 = synthetic_atm(ctl, dz=5.0)
+    a1 = synthetic_atm(ctl, dz=5.0)
+    a1.t = a1.t + 6.0                    # the second scan sees warmer air
+    a1.q[1] = a1.q[1] * 1.4
+    atm = Atm(
+        time=np.concatenate([a0.time, a1.time + 3600.0]),
+        z=np.concatenate([a0.z, a1.z]),
+        lon=np.concatenate([a0.lon, np.full(a1.npts, 10.0)]),
+        lat=np.concatenate([a0.lat, np.full(a1.npts, 5.0)]),
+        p=np.concatenate([a0.p, a1.p]),
+        t=np.concatenate([a0.t, a1.t]),
+        q=np.concatenate([a0.q, a1.q], axis=1),
+        k=np.concatenate([a0.k, a1.k], axis=1))
+    obs = limb_workload(ctl, 6)
+    obs.time[3:] = 3600.0                # rays 3.. view the second scan
+    model = ForwardModel(ctl, fast_tables=synthetic_fast_tables(
+        ctl, n_p=12, n_t=8, n_k=96))
+    K_fd = kernel(ctl, atm.copy(), obs.copy(), model)
+    K_ad = kernel_autodiff(ctl, atm.copy(), obs.copy(), model)
+    # both profiles contribute state elements
+    x, iqa, ipa = atm2x(ctl, atm)
+    assert (ipa < a0.npts).any() and (ipa >= a0.npts).any()
+    assert K_fd.shape == K_ad.shape == (obs.nr * ctl.nd, x.size)
+    scale = np.abs(K_ad).max()
+    assert scale > 0
+    np.testing.assert_allclose(K_fd, K_ad, atol=2e-2 * scale, rtol=0.05)
+    # cross-profile sensitivities are exactly zero: ray 0 (scan 1) must
+    # not react to scan-2 state and vice versa
+    nd = ctl.nd
+    ray0_rows = slice(0, nd)
+    scan2_cols = ipa >= a0.npts
+    assert np.abs(K_ad[ray0_rows, :][:, scan2_cols]).max() == 0.0
+    ray5_rows = slice(5 * nd, 6 * nd)
+    assert np.abs(K_ad[ray5_rows, :][:, ~scan2_cols]).max() == 0.0
+
+
 def test_write_read_matrix_roundtrip(tmp_path, setup):
     ctl, atm, obs, model = setup
     ctl.write_matrix = 1
