@@ -343,14 +343,20 @@ def _c01(x):
 
 def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                  flags, ig_co2: int, ig_h2o: int, n_src: int,
-                 use_gather: bool = False):
+                 early_exit: bool = False):
     """Build the kernel body with all shape/config statics burned in
     (the analogue of the 16-way multiversioning, jr_multiversion4gases.h).
 
-    ``use_gather``: extract eps-row values at dynamic per-lane indices
-    with take_along_axis (Mosaic dynamic-gather) instead of masked
-    O(K) reductions -- fewer full-row passes per corner when the
-    backend lowers sublane gathers efficiently."""
+    Row extraction is masked reductions by necessity, not preference:
+    Mosaic's dynamic sublane gather handles only ONE source vreg (8
+    rows) along the gather dimension ("Multiple source vregs along
+    gather dimension" is Not Implemented as of this writing), so
+    per-lane dynamic indexing into a [K~224, 128] row is not
+    expressible as a gather on TPU -- the branch-free masked max/min
+    over monotone rows is the fastest available exact mechanism.
+
+    ``early_exit``: stop the LOS loop once every channel lane is frozen
+    by opacity (exact; see the loop-form comment below)."""
     f_co2, f_h2o, f_n2, f_o2 = flags
     R6 = np.float32(LOG2_RATIO_U)
     RATIO = np.float32(2.0 ** LOG2_RATIO_U)
@@ -404,15 +410,9 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
         start(0)
 
         def bracket(row, i):
-            """(row[i], row[i+1]) per lane.  Masked-reduction form: one
-            complement mask feeds both the max and the min (monotone
-            rows with BIG padding make extraction a masked max/min).
-            Gather form: two dynamic sublane gathers."""
-            if use_gather:
-                lo = jnp.take_along_axis(row, i[None, :], axis=0)[0]
-                hi = jnp.take_along_axis(
-                    row, jnp.minimum(i + 1, K - 1)[None, :], axis=0)[0]
-                return lo, hi
+            """(row[i], row[i+1]) per lane: one complement mask feeds
+            both the max and the min (monotone rows with BIG padding
+            make extraction a masked max/min)."""
             m = iota_k <= i[None]
             lo = jnp.max(jnp.where(m, row, -BIG), axis=0)
             hi = jnp.min(jnp.where(m, BIG, row), axis=0)
@@ -545,7 +545,44 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
         rad0 = jnp.zeros((Dp,), jnp.float32)
         tau0 = jnp.ones((Dp,), jnp.float32)
         tp0 = jnp.ones((G, Dp), jnp.float32)
-        rad, tau, _ = jax.lax.fori_loop(0, nb, body, (rad0, tau0, tp0))
+
+        if not early_exit:
+            rad, tau, _ = jax.lax.fori_loop(0, nb, body, (rad0, tau0, tp0))
+        else:
+            # Early exit on full opacity (exact): once a lane has ANY
+            # gas with tau_path < TAU_OPAQUE, its factor is pinned to 0,
+            # so tau_gas = 0 and the lane's rad/tau are frozen for every
+            # remaining segment (new_obs_core's tau_gas > 0 guard).
+            # When every lane is frozen the rest of the LOS loop is
+            # bitwise no-ops -- stop it.  The reference loops all np
+            # points (CPUdrivers.c:66-83); the exit changes nothing in
+            # the output.  Off by default: a while_loop forfeits
+            # cross-iteration pipelining, which costs ~4% when rays
+            # never fully saturate (the steady-state bench); worth
+            # enabling for opaque-limb workloads (low tangent heights
+            # through the troposphere).
+            def cond(carry):
+                s, _rad, _tau, tau_path = carry
+                live = jnp.max(jnp.min(tau_path, axis=0)) \
+                    >= np.float32(TAU_OPAQUE)
+                return (s < nb) & live
+
+            def wbody(carry):
+                s, rad, tau, tau_path = carry
+                rad, tau, tau_path = body(s, (rad, tau, tau_path))
+                return s + 1, rad, tau, tau_path
+
+            s_end, rad, tau, _ = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), rad0, tau0, tp0))
+
+            # Drain the lookahead: the last executed body (s_end - 1)
+            # prefetched segment s_end's changed pairs; on an early
+            # exit they must be consumed so the next grid step's
+            # semaphores start clean.
+            @pl.when(s_end < nb)
+            def _():
+                wait(s_end)
+
         rad_ref[0, 0, :] = rad
         tau_ref[0, 0, :] = tau
 
@@ -555,7 +592,7 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
                     ig_co2: int, ig_h2o: int,
                     interpret: bool = False,
-                    use_gather: bool | None = None):
+                    early_exit: bool | None = None):
     """Run the fused kernel over all rays; returns (rad, tau) [R, D] f32.
 
     The grid iterates rays (sequential on a TPU core, pipelined block
@@ -575,11 +612,12 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     seg = _pack_segments(los, ig_co2, ig_h2o)
     useg = los.u.astype(jnp.float32)
 
-    if use_gather is None:
-        import os
-        use_gather = bool(int(os.environ.get("JURASSIC_PALLAS_GATHER", "0")))
+    import os
+    if early_exit is None:
+        early_exit = bool(int(os.environ.get(
+            "JURASSIC_PALLAS_EARLY_EXIT", "0")))
     kernel = _make_kernel(G, S, K, K_aug, Dp, W, tuple(flags),
-                          ig_co2, ig_h2o, n_src, use_gather)
+                          ig_co2, ig_h2o, n_src, early_exit)
 
     slab_bytes = 2 * G * 4 * K_aug * Dp * 4
     vlim = slab_bytes + pt.sr.size * 4 + 4 * 1024 * 1024

@@ -88,29 +88,30 @@ def test_pallas_rejects_ragged_tables():
         assert m.kernel_mode == "jax"
 
 
-def test_pallas_gather_extraction_bitwise():
-    """The gather-based row extraction (use_gather) must match the
-    masked-reduction form: monotone rows with BIG padding make
-    row[i]/row[i+1] extraction exact either way, so the only remaining
-    difference is FMA/fusion formation across the two traces (~1e-7
-    relative float32 noise, NOT index semantics)."""
+def test_pallas_early_exit_bitwise():
+    """The opacity early exit (early_exit) must be bitwise equivalent:
+    it only skips segments in which every lane is frozen (some gas's
+    tau_path below TAU_OPAQUE pins tau_gas to 0, so rad/tau updates are
+    no-ops).  Exercised with strongly absorbing synthetic tables so low
+    rays do saturate all channels mid-ray."""
     from jurassic_tpu.ops.pallas import rt_fused_pallas
 
-    ctl = synthetic_ctl(ng=3, nd=6)
-    ctl.nlos = 40
-    ctl.rayds, ctl.raydz = 60.0, 6.0
-    ft = synthetic_fast_tables(ctl, n_p=7, n_t=5, n_k=48)
+    ctl = synthetic_ctl(ng=2, nd=5)
+    ctl.nlos = 64
+    ctl.rayds, ctl.raydz = 40.0, 4.0
+    ft = synthetic_fast_tables(ctl, n_p=6, n_t=4, n_k=48)
+    # scale eps curves toward saturation so opacity exits actually fire
+    ft = ft._replace(eps=np.minimum(np.asarray(ft.eps) * 40.0, 1.0))
     atm = synthetic_atm(ctl)
-    obs = limb_workload(ctl, 5)
+    obs = limb_workload(ctl, 6)
     ctl.kernel = "pallas"
     m = ForwardModel(ctl, fast_tables=ft)
     los = m.trace(atm, obs)
     args = (m.pallas_tbl, m.cc_rows, los, m.flags, m.ig_co2, m.ig_h2o)
-    rad_m, tau_m = rt_fused_pallas(*args, interpret=True, use_gather=False)
-    rad_g, tau_g = rt_fused_pallas(*args, interpret=True, use_gather=True)
-    scale = np.abs(np.asarray(rad_m)).max()
-    assert np.abs(np.asarray(rad_m) - np.asarray(rad_g)).max() <= 1e-6 * scale
-    assert np.abs(np.asarray(tau_m) - np.asarray(tau_g)).max() <= 1e-6
+    rad0, tau0 = rt_fused_pallas(*args, interpret=True, early_exit=False)
+    rad1, tau1 = rt_fused_pallas(*args, interpret=True, early_exit=True)
+    np.testing.assert_array_equal(np.asarray(rad0), np.asarray(rad1))
+    np.testing.assert_array_equal(np.asarray(tau0), np.asarray(tau1))
 
 
 def test_pallas_declared_but_unreferenced_windows():
