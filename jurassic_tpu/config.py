@@ -163,7 +163,7 @@ class Ctl:
     read_binary: int = -1
     write_binary: int = 1
     # TPU execution knobs (no reference equivalent)
-    kernel: str = "auto"   # auto | jax | pallas | exact
+    kernel: str = "auto"   # auto | jax | pallas | turbo | exact
     nlos: int = NLOS_MAX   # LOS points budget per ray (static shape)
     raypack: int = 0       # rays per pipelined package (0 = one batch);
                            # the stream/package overlap analogue

@@ -284,27 +284,47 @@ class ForwardModel:
         if tables is None and fast_tables is None:
             tables = load_tables_cached(ctl, directory)
         self.tables = tables
-        self.use_fast = ctl.kernel in ("auto", "jax", "pallas", "fast")
+        self.use_fast = ctl.kernel in ("auto", "jax", "pallas", "turbo",
+                                       "fast")
         self.kernel_mode = "exact" if not self.use_fast else "jax"
         self.pallas_tbl = None
+        self.turbo_stats = None
         if self.use_fast:
             if fast_tables is None:
                 fast_tables = build_fast_tables(tables)
             self.dev_tbl = fast_tables_to_device(fast_tables)
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            want_pallas = (ctl.kernel == "pallas"
+            want_pallas = (ctl.kernel in ("pallas", "turbo")
                            or (ctl.kernel == "auto" and on_tpu))
             if want_pallas:
-                from .ops.pallas import build_pallas_tables
-                self.pallas_tbl = build_pallas_tables(fast_tables,
-                                                      pallas_n_chan)
+                if ctl.kernel == "turbo":
+                    # Chebyshev-compressed tables (turbo_fit.py): the
+                    # fit is validated against every row at build time;
+                    # refuse the mode when the achieved error exceeds
+                    # the EGA physics tolerance (the discipline of the
+                    # reference's FAST_INVERSE_OF_U self-validation,
+                    # jurassic.c:487-609).
+                    from .ops.pallas import build_turbo_tables
+                    self.pallas_tbl, self.turbo_stats = \
+                        build_turbo_tables(fast_tables, pallas_n_chan)
+                    if (self.turbo_stats is not None
+                            and max(self.turbo_stats.max_fwd_err,
+                                    self.turbo_stats.max_inv_err) > 2e-3):
+                        raise ValueError(
+                            "KERNEL = turbo: Chebyshev fit validation "
+                            f"failed ({self.turbo_stats}); these tables "
+                            "need KERNEL = pallas")
+                else:
+                    from .ops.pallas import build_pallas_tables
+                    self.pallas_tbl = build_pallas_tables(fast_tables,
+                                                          pallas_n_chan)
                 if self.pallas_tbl is not None:
                     self.kernel_mode = "pallas"
                     self.pallas_interpret = not on_tpu
-                elif ctl.kernel == "pallas":
+                elif ctl.kernel in ("pallas", "turbo"):
                     raise ValueError(
-                        "KERNEL = pallas requires channel-uniform table "
-                        "axes per gas (build_pallas_tables returned None); "
+                        f"KERNEL = {ctl.kernel} requires channel-uniform "
+                        "table axes per gas (table build returned None); "
                         "use KERNEL = jax for ragged-across-channel tables")
         else:
             self.dev_tbl = ega_tables_to_device(tables)

@@ -92,12 +92,18 @@ class PallasTables(NamedTuple):
     k_rows: int           # K (eps rows per cell) -- static
     d_true: int           # unpadded channel count per shard -- static
     n_chan: int = 1       # channel shards packed on the lane axis
+    mode: str = "table"   # "table" (log-uniform rows) | "turbo"
+    #                       (Chebyshev-compressed rows, turbo_fit.py)
+    deg_f: int = 0        # turbo: forward fit degree (static)
+    deg_i: int = 0        # turbo: inverse fit degree (static)
 
 
 jax.tree_util.register_pytree_node(
     PallasTables,
     lambda pt: ((pt.eps_aug, pt.sr, pt.chan_mask, pt.p_ax, pt.t_ax,
-                 pt.np_u, pt.nt_u), (pt.k_rows, pt.d_true, pt.n_chan)),
+                 pt.np_u, pt.nt_u),
+                (pt.k_rows, pt.d_true, pt.n_chan, pt.mode,
+                 pt.deg_f, pt.deg_i)),
     lambda aux, ch: PallasTables(*ch, *aux))
 
 
@@ -114,6 +120,32 @@ def shard_lanes(x: np.ndarray, n_chan: int) -> np.ndarray:
     for j in range(n_chan):
         out[..., j * Dp:j * Dp + Ds] = x[..., j * Ds:(j + 1) * Ds]
     return out
+
+
+def _uniform_axes(ft: FastTables):
+    """Channel-uniform (p, t) axes per gas, or None when ragged across
+    channels (over channels that have a table)."""
+    G, P, T, K, D = ft.eps.shape
+    p_ax = np.zeros((G, P))
+    t_ax = np.zeros((G, P, T))
+    np_u = np.zeros(G, np.int32)
+    nt_u = np.zeros((G, P), np.int32)
+    for g in range(G):
+        chans = np.nonzero(ft.np_[g] >= 2)[0]
+        if chans.size == 0:
+            continue
+        d0 = chans[0]
+        np_u[g] = ft.np_[g, d0]
+        nt_u[g] = ft.nt[g, :, d0]
+        p_ax[g] = ft.p[g, :, d0]
+        t_ax[g] = ft.t[g, :, :, d0]
+        for d in chans[1:]:
+            if (ft.np_[g, d] != np_u[g]
+                    or not np.array_equal(ft.nt[g, :, d], nt_u[g])
+                    or not np.allclose(ft.p[g, :, d], p_ax[g])
+                    or not np.allclose(ft.t[g, :, :, d], t_ax[g])):
+                return None  # ragged across channels: jnp path handles it
+    return p_ax, t_ax, np_u, nt_u
 
 
 def build_pallas_tables(ft: FastTables,
@@ -343,7 +375,8 @@ def _c01(x):
 
 def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                  flags, ig_co2: int, ig_h2o: int, n_src: int,
-                 early_exit: bool = False):
+                 early_exit: bool = False, mode: str = "table",
+                 deg_f: int = 0, deg_i: int = 0):
     """Build the kernel body with all shape/config statics burned in
     (the analogue of the 16-way multiversioning, jr_multiversion4gases.h).
 
@@ -363,12 +396,19 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
     iota_k = None  # built inside (2D iota requirement)
 
     SEGW = N_SEG + W
+    if mode == "turbo":
+        J_f, J_i = deg_f + 1, deg_i + 1
+        AUX = J_f + J_i             # first aux row (turbo_fit layout)
+        ROW_T, ROW_P, ROW_VALID = AUX + 9, AUX + 10, AUX + 11
+    else:
+        ROW_T, ROW_P, ROW_VALID = K + 1, K + 2, K + 3
 
     def kernel(np_ref, idx_ref, seg_ref, useg_ref, cc_ref, sr_ref, cm_ref,
                eps_hbm, rad_ref, tau_ref, slab, sem):
         # SMEM blocks are flattened [1, S*width]: small trailing dims
         # would be tile-padded far past the SMEM budget otherwise
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, Dp), 0)
+        iota_k = (jax.lax.broadcasted_iota(jnp.int32, (K, Dp), 0)
+                  if mode != "turbo" else None)
         # dynamic LOS bound: loop only the ray's actual point count
         # (the reference's per-ray np[ir], CPUdrivers.c:66); at least 1
         # so the prefetch issued before the loop is always consumed
@@ -417,6 +457,81 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             lo = jnp.max(jnp.where(m, row, -BIG), axis=0)
             hi = jnp.min(jnp.where(m, BIG, row), axis=0)
             return lo, hi
+
+        def cheb(b, g, c, off, J, x):
+            """Clenshaw evaluation of the Chebyshev expansion stored in
+            slab rows [off, off+J) -- O(J) FMAs on [Dp] vectors instead
+            of the table path's O(K) full-row passes."""
+            x2 = 2.0 * x
+            b1 = jnp.zeros((Dp,), jnp.float32)
+            b2 = jnp.zeros((Dp,), jnp.float32)
+            for j in range(J - 1, 0, -1):
+                b1, b2 = x2 * b1 - b2 + slab[b, g, c, off + j, :], b1
+            return x * b1 - b2 + slab[b, g, c, off, :]
+
+        def eta_of(target):
+            """Curve-of-growth transform of the inversion target --
+            shared by all 4 corners of a gas, so computed once per
+            (gas, segment).  (Mosaic lowers no log1p/expm1; the plain
+            log forms lose precision only for eps < ~1e-6, where the
+            EGA factor is 1 to float32 accuracy anyway -- and targets
+            below e0 take the linear-extrapolation branch.)"""
+            t_c = jnp.clip(target, 1e-12, 1.0 - 1e-7)
+            return jnp.log(jnp.maximum(
+                -jnp.log(jnp.maximum(1.0 - t_c, 1e-37)), 1e-37))
+
+        def poly_lookup(b, g, c, target, eta_t, u_seg):
+            """One (p,T) corner in turbo mode: eps->u inversion +
+            eps(u + u_seg) re-lookup through the eta-space Chebyshev
+            pair (turbo_fit.py), with the exact path's out-of-range
+            linear extensions and guards replicated."""
+            l2u0 = slab[b, g, c, AUX + 0, :]
+            k_hi = slab[b, g, c, AUX + 1, :]
+            e0 = slab[b, g, c, AUX + 2, :]
+            e1 = slab[b, g, c, AUX + 3, :]
+            e2nd = slab[b, g, c, AUX + 4, :]
+            emax = slab[b, g, c, AUX + 5, :]
+            ends = slab[b, g, c, AUX + 6, :]
+            eta0 = slab[b, g, c, AUX + 7, :]
+            etah = slab[b, g, c, AUX + 8, :]
+            u0 = slab[b, g, c, AUX + 12, :]
+            u_n1 = slab[b, g, c, AUX + 13, :]
+            u1 = u0 * RATIO
+            u_n2 = u_n1 * np.float32(2.0 ** -LOG2_RATIO_U)
+            # inversion: precomputed eta(target) -> normalized xi -> k
+            dh = etah - eta0
+            dh = jnp.where(jnp.abs(dh) > 1e-30, dh, 1.0)
+            xi = jnp.clip((2.0 * eta_t - (eta0 + etah)) / dh, -1.0, 1.0)
+            k_c = jnp.clip(cheb(b, g, c, J_f, J_i, xi), 0.0, k_hi)
+            u_c = jnp.exp2(l2u0 + k_c * R6)
+            # below-range: linear extrapolation through the first
+            # u-interval (get_u with idx clamped to 0)
+            d01 = e1 - e0
+            d01g = jnp.where(d01 == 0, 1.0, d01)
+            u_c = jnp.where(target < e0,
+                            u0 + (target - e0) * (u1 - u0) / d01g, u_c)
+            # beyond-range, row truly ends: through the last active
+            # interval; saturated rows pin u at the plateau start
+            d2 = emax - e2nd
+            d2g = jnp.where(d2 == 0, 1.0, d2)
+            hi_u = u_n2 + (target - e2nd) * (u_n1 - u_n2) / d2g
+            u_c = jnp.where((target > emax) & (ends > 0), hi_u, u_c)
+            # forward: eps(u_c + u_seg) through the forward expansion
+            u_new = u_c + u_seg
+            k_new = (jnp.log2(jnp.maximum(u_new, 1e-37)) - l2u0) / R6
+            k_cl = jnp.clip(k_new, 0.0, k_hi)
+            y = jnp.clip(2.0 * k_cl / jnp.maximum(k_hi, 1.0) - 1.0,
+                         -1.0, 1.0)
+            eps = 1.0 - jnp.exp(-jnp.exp(cheb(b, g, c, 0, J_f, y)))
+            # linear extensions outside the active range (get_eps with
+            # the clamped end intervals; saturated rows extend flat)
+            eps = jnp.where(
+                k_new < 0.0, e0 + (u_new - u0) * d01 / (u1 - u0), eps)
+            hi_e = emax + (u_new - u_n1) * d2 / (u_n1 - u_n2) * ends
+            eps = jnp.where(k_new > k_hi, hi_e, eps)
+            # flat rows: the exact path's guarded lip freezes the value
+            eps = jnp.where(jnp.abs(emax - e0) > 1e-10, eps, e0)
+            return _c01(eps)
 
         def row_lookup(row, l2u0, nk2, target, u_seg):
             """One (p,T) corner: eps->u inversion + eps(u + u_seg)
@@ -505,20 +620,26 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                 _, b1, _ = meta(s, g, 1)
                 eps_c = []
                 okl = cm_ref[g]
+                eta_t = eta_of(target) if mode == "turbo" else None
                 for c in range(4):
                     b = b0 if c < 2 else b1
-                    row = slab[b, g, c, :K, :]
-                    l2u0 = slab[b, g, c, K, :]
-                    nk2 = slab[b, g, c, K + 4, :].astype(jnp.int32)
-                    eps_c.append(row_lookup(row, l2u0, nk2, target, u_seg))
-                    okl = okl * slab[b, g, c, K + 3, :]
+                    if mode == "turbo":
+                        eps_c.append(
+                            poly_lookup(b, g, c, target, eta_t, u_seg))
+                    else:
+                        row = slab[b, g, c, :K, :]
+                        l2u0 = slab[b, g, c, K, :]
+                        nk2 = slab[b, g, c, K + 4, :].astype(jnp.int32)
+                        eps_c.append(
+                            row_lookup(row, l2u0, nk2, target, u_seg))
+                    okl = okl * slab[b, g, c, ROW_VALID, :]
                 # bilinear: t within each p row, then p (jr_common.h:259-265)
-                t00 = slab[b0, g, 0, K + 1, :]
-                t01 = slab[b0, g, 1, K + 1, :]
-                t10 = slab[b1, g, 2, K + 1, :]
-                t11 = slab[b1, g, 3, K + 1, :]
-                p0 = slab[b0, g, 0, K + 2, :]
-                p1 = slab[b1, g, 2, K + 2, :]
+                t00 = slab[b0, g, 0, ROW_T, :]
+                t01 = slab[b0, g, 1, ROW_T, :]
+                t10 = slab[b1, g, 2, ROW_T, :]
+                t11 = slab[b1, g, 3, ROW_T, :]
+                p0 = slab[b0, g, 0, ROW_P, :]
+                p1 = slab[b1, g, 2, ROW_P, :]
                 eps_p0 = _c01(_lipg(t00, eps_c[0], t01, eps_c[1], t_s))
                 eps_p1 = _c01(_lipg(t10, eps_c[2], t11, eps_c[3], t_s))
                 eps_t = _c01(_lipg(p0, eps_p0, p1, eps_p1, p_s))
@@ -617,7 +738,8 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         early_exit = bool(int(os.environ.get(
             "JURASSIC_PALLAS_EARLY_EXIT", "0")))
     kernel = _make_kernel(G, S, K, K_aug, Dp, W, tuple(flags),
-                          ig_co2, ig_h2o, n_src, early_exit)
+                          ig_co2, ig_h2o, n_src, early_exit,
+                          pt.mode, pt.deg_f, pt.deg_i)
 
     slab_bytes = 2 * G * 4 * K_aug * Dp * 4
     vlim = slab_bytes + pt.sr.size * 4 + 4 * 1024 * 1024

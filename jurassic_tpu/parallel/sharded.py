@@ -73,7 +73,8 @@ def _pallas_in_specs(pt: PallasTables):
         eps_aug=P(None, None, None, CHAN_AXIS),
         sr=P(None, CHAN_AXIS), chan_mask=P(None, CHAN_AXIS),
         p_ax=P(), t_ax=P(), np_u=P(), nt_u=P(),
-        k_rows=pt.k_rows, d_true=pt.d_true, n_chan=pt.n_chan)
+        k_rows=pt.k_rows, d_true=pt.d_true, n_chan=pt.n_chan,
+        mode=pt.mode, deg_f=pt.deg_f, deg_i=pt.deg_i)
     r1, r2, r3 = P(RAY_AXIS), P(RAY_AXIS, None), P(RAY_AXIS, None, None)
     los_specs = LosData(
         z=r2, lon=r2, lat=r2, p=r2, t=r2, q=r3, k=r3, ds=r2, u=r3,

@@ -88,6 +88,77 @@ def test_pallas_rejects_ragged_tables():
         assert m.kernel_mode == "jax"
 
 
+@pytest.mark.parametrize("case", ["limb", "nadir", "ega"])
+def test_turbo_matches_reference_golden(case):
+    """KERNEL = turbo (Chebyshev-compressed tables, turbo_fit.py) on
+    the three golden cases.  The bar is 5e-3 (vs 2e-3 for the table
+    kernel): the C oracle interpolates eps linearly in u between grid
+    rows, so its goldens embody chord values, while turbo evaluates the
+    smooth curve through the same rows -- they differ by the
+    chord-discretization error of the 2^(1/6) u-grid (~1-2e-3,
+    reported as TurboStats.max_chord_dev), not by fit error (~1e-6
+    here).  EGA itself is a band-model approximation at the percent
+    level, so both sit far inside the physics accuracy."""
+    ctl, obs, ref = run_case(case, "turbo")
+    nd = ctl.nd
+    rad_ref = ref[:, 10:10 + nd]
+    tau_ref = ref[:, 10 + nd:10 + 2 * nd]
+    scale = np.abs(rad_ref).max()
+    assert np.abs(obs.rad - rad_ref).max() <= 5e-3 * scale
+    assert np.abs(obs.tau - tau_ref).max() <= 5e-3
+
+
+def test_turbo_matches_fast_jnp_synthetic():
+    """Turbo vs the float64 jnp fast path on a multi-gas synthetic limb
+    workload with all continua: the eta-space Chebyshev pair must track
+    the table lookups to a few 1e-5 relative (fit floor + float32
+    transcendental forms)."""
+    ctl = synthetic_ctl(ng=4, nd=9)
+    ctl.nlos = 48
+    ctl.rayds, ctl.raydz = 50.0, 5.0
+    ctl.ctm_n2 = ctl.ctm_o2 = 1
+    ft = synthetic_fast_tables(ctl, n_p=8, n_t=5, n_k=48)
+    atm = synthetic_atm(ctl)
+    obs = limb_workload(ctl, 6)
+
+    ctl.kernel = "jax"
+    m_jax = ForwardModel(ctl, fast_tables=ft)
+    los = m_jax.trace(atm, obs)
+    out_jax = m_jax.integrate(los)
+
+    ctl.kernel = "turbo"
+    m_t = ForwardModel(ctl, fast_tables=ft)
+    assert m_t.kernel_mode == "pallas"
+    assert m_t.pallas_tbl.mode == "turbo"
+    st = m_t.turbo_stats
+    assert st.max_fwd_err < 1e-4 and st.max_inv_err < 1e-4
+    out_t = m_t.integrate(los)
+    rad0 = np.asarray(out_jax.rad)
+    scale = np.abs(rad0).max()
+    assert np.abs(np.asarray(out_t.rad) - rad0).max() <= 5e-5 * scale
+    assert np.abs(np.asarray(out_t.tau)
+                  - np.asarray(out_jax.tau)).max() <= 5e-5
+
+
+def test_turbo_refuses_unfittable_tables():
+    """Build-time validation: jagged (non-smooth) eps rows exceed the
+    fit tolerance and KERNEL = turbo must refuse them loudly rather
+    than silently degrade (the FAST_INVERSE_OF_U self-validation
+    discipline, jurassic.c:487-609)."""
+    ctl = synthetic_ctl(ng=2, nd=4)
+    ft = synthetic_fast_tables(ctl, n_p=6, n_t=4, n_k=48)
+    rng = np.random.default_rng(0)
+    eps = np.asarray(ft.eps, np.float64)
+    # monotone but jagged: random-step staircase between 0.1 and 0.9
+    stair = np.cumsum(rng.uniform(0, 1, eps.shape[3]) ** 8, axis=-1)
+    stair = 0.1 + 0.8 * stair / stair[-1]
+    eps[..., :, :] = stair[None, None, None, :, None]
+    ft = ft._replace(eps=eps.astype(np.float32))
+    ctl.kernel = "turbo"
+    with pytest.raises(ValueError, match="fit validation"):
+        ForwardModel(ctl, fast_tables=ft)
+
+
 def test_pallas_early_exit_bitwise():
     """The opacity early exit (early_exit) must be bitwise equivalent:
     it only skips segments in which every lane is frozen (some gas's

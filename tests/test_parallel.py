@@ -98,16 +98,19 @@ def test_synthetic_workload_smoke():
     assert np.abs(obs2.rad - obs.rad).max() < 2e-3 * scale
 
 
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1)])
-def test_sharded_pallas_matches_single_device(mesh_shape):
+@pytest.mark.parametrize("mesh_shape,kernel",
+                         [((4, 2), "pallas"), ((8, 1), "pallas"),
+                          ((4, 2), "turbo")])
+def test_sharded_pallas_matches_single_device(mesh_shape, kernel):
     """The fused Pallas kernel IS the multi-chip path (VERDICT r2 #1):
     shard_map-dispatched per-shard kernels over the ("rays","chan") mesh
     must reproduce the single-device Pallas run exactly (the per-shard
     kernel sees the same per-channel rows and the same per-ray segments,
     so float32 arithmetic is bitwise identical).  Runs in interpret mode
-    on the virtual CPU mesh; the same code path compiles on TPU."""
+    on the virtual CPU mesh; the same code path compiles on TPU.  The
+    turbo (Chebyshev-compressed) table variant shards identically."""
     ctl, d = _load("ega")
-    ctl.kernel = "pallas"
+    ctl.kernel = kernel
     obs = read_obs(d / "obs.tab", ctl)
     atm = read_atm(d / "atm.tab", ctl)
     fm = ForwardModel(ctl, directory=str(d))
