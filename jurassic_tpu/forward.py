@@ -303,10 +303,13 @@ class ForwardModel:
                     # refuse the mode when the achieved error exceeds
                     # the EGA physics tolerance (the discipline of the
                     # reference's FAST_INVERSE_OF_U self-validation,
-                    # jurassic.c:487-609).
-                    from .ops.pallas import build_turbo_tables
+                    # jurassic.c:487-609).  File-backed tables cache
+                    # the fitted coefficients beside the table cache
+                    # (READ_BINARY/WRITE_BINARY semantics).
                     self.pallas_tbl, self.turbo_stats = \
-                        build_turbo_tables(fast_tables, pallas_n_chan)
+                        self._turbo_tables_cached(fast_tables,
+                                                  pallas_n_chan,
+                                                  directory)
                     if (self.turbo_stats is not None
                             and max(self.turbo_stats.max_fwd_err,
                                     self.turbo_stats.max_inv_err) > 2e-3):
@@ -348,6 +351,43 @@ class ForwardModel:
             ctl.ctm_n2 == 1,
             ctl.ctm_o2 == 1,
         )
+
+    def _turbo_tables_cached(self, fast_tables, n_chan, directory):
+        """build_turbo_tables with an npz cache for file-backed tables
+        (keyed like the table cache: config + source-file freshness)."""
+        import jax.numpy as jnp
+        from .ops.pallas import build_turbo_tables
+        from .ops.pallas.ega_fused import PallasTables
+        from .ops.pallas.turbo_fit import TurboStats
+        ctl = self.ctl
+        cf = None
+        if self.tables is not None and ctl.tblbase != "-":
+            from .tables import cache_filename
+            base = cache_filename(ctl, directory)
+            cf = base.with_name(f"{base.stem}_turbo{n_chan}.npz")
+        if cf is not None and ctl.read_binary and cf.exists():
+            with np.load(cf, allow_pickle=False) as f:
+                pt = PallasTables(
+                    *(jnp.asarray(f[k]) for k in
+                      ("eps_aug", "sr", "chan_mask", "p_ax", "t_ax",
+                       "np_u", "nt_u")),
+                    k_rows=int(f["k_rows"]), d_true=int(f["d_true"]),
+                    n_chan=int(f["n_chan"]), mode="turbo",
+                    deg_f=int(f["deg_f"]), deg_i=int(f["deg_i"]))
+                sv = f["stats"]
+                stats = TurboStats(int(sv[0]), *map(float, sv[1:]))
+            return pt, stats
+        pt, stats = build_turbo_tables(fast_tables, n_chan)
+        if pt is not None and cf is not None and ctl.write_binary:
+            np.savez(
+                cf, eps_aug=np.asarray(pt.eps_aug),
+                sr=np.asarray(pt.sr), chan_mask=np.asarray(pt.chan_mask),
+                p_ax=np.asarray(pt.p_ax), t_ax=np.asarray(pt.t_ax),
+                np_u=np.asarray(pt.np_u), nt_u=np.asarray(pt.nt_u),
+                k_rows=pt.k_rows, d_true=pt.d_true, n_chan=pt.n_chan,
+                deg_f=pt.deg_f, deg_i=pt.deg_i,
+                stats=np.asarray(list(stats), np.float64))
+        return pt, stats
 
     def integrate(self, los: LosData) -> RtOut:
         """RT integration with the resolved kernel: the fused Pallas
@@ -488,11 +528,9 @@ class ForwardModel:
             los = (self.trace(atm, obs_run) if ctl.ip == 1
                    else self.pencil_trace(atm, obs_run))
             out = self.integrate(los)
-            obs.rad = self._to_host(out.rad)[:r]
-            obs.tau = self._to_host(out.tau)[:r]
-            obs.tpz = self._to_host(los.tpz)[:r]
-            obs.tplon = self._to_host(los.tplon)[:r]
-            obs.tplat = self._to_host(los.tplat)[:r]
+            (obs.rad, obs.tau, obs.tpz, obs.tplon,
+             obs.tplat) = self._outputs_to_host(
+                 (out.rad, out.tau, los.tpz, los.tplon, los.tplat), r)
         formod_fov(ctl, obs)
         obs.rad[mask] = np.nan                        # apply_mask
         return obs
@@ -501,6 +539,16 @@ class ForwardModel:
         """Device array -> host float64 (overridden by the sharded model
         to gather fully-distributed arrays across processes)."""
         return np.array(x, np.float64)
+
+    def _outputs_to_host(self, arrays, r):
+        """All per-call outputs in ONE device->host transfer: a single
+        round trip matters on remote/tunneled devices where each pull
+        pays fixed latency (the analogue of the reference's one D2H obs
+        copy per package, GPUdrivers.cu:244)."""
+        # np.array (not asarray): device_get may hand back zero-copy
+        # read-only buffers, and formod mutates the outputs in place
+        return tuple(np.array(a[:r], np.float64)
+                     for a in jax.device_get(arrays))
 
     def _formod_packaged(self, atm: Atm, obs: Obs, pack: int) -> None:
         """Pipelined package loop: enqueue trace+integrate per package
@@ -521,11 +569,11 @@ class ForwardModel:
             handles.append((min(pack, R - start), los_k, out_k))
         rad, tau, tpz, tplon, tplat = [], [], [], [], []
         for n, los_k, out_k in handles:              # sync D2H at the end
-            rad.append(self._to_host(out_k.rad)[:n])
-            tau.append(self._to_host(out_k.tau)[:n])
-            tpz.append(self._to_host(los_k.tpz)[:n])
-            tplon.append(self._to_host(los_k.tplon)[:n])
-            tplat.append(self._to_host(los_k.tplat)[:n])
+            r5 = self._outputs_to_host(
+                (out_k.rad, out_k.tau, los_k.tpz, los_k.tplon,
+                 los_k.tplat), n)
+            for dst, a in zip((rad, tau, tpz, tplon, tplat), r5):
+                dst.append(a)
         obs.rad = np.concatenate(rad)
         obs.tau = np.concatenate(tau)
         obs.tpz = np.concatenate(tpz)

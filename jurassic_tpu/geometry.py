@@ -225,6 +225,19 @@ def interp_qk(prof_z, prof_q, prof_k, nlev, z0):
     return q, k
 
 
+def interp_all(prof, z0):
+    """interp_pt + interp_qk with ONE shared interval search (they are
+    always called at the same altitude in the tracer step; the
+    compare-sum over the level grid is the step's dominant cost)."""
+    i = _interval_index(prof.z, prof.nlev, z0)
+    za, zb = prof.z[i], prof.z[i + 1]
+    p = _eip(za, prof.p[i], zb, prof.p[i + 1], z0)
+    t = _lin(za, prof.t[i], zb, prof.t[i + 1], z0)
+    q = _lin(za, prof.q[:, i], zb, prof.q[:, i + 1], z0)
+    k = _lin(za, prof.k[:, i], zb, prof.k[:, i + 1], z0)
+    return p, t, q, k
+
+
 # ---------------------------------------------------------------------------
 # Line-of-sight result container
 
@@ -320,8 +333,7 @@ def _trace_single(ctl_rayds, ctl_raydz, ctl_refrac, nlos,
         lat = jnp.where(escaped, late, lat)
         ds = jnp.where(escaped, zero, ds)
 
-        p, t = interp_pt(prof.z, prof.p, prof.t, prof.nlev, z)
-        q, k = interp_qk(prof.z, prof.q, prof.k, prof.nlev, z)
+        p, t, q, k = interp_all(prof, z)
 
         active = ok & jnp.logical_not(stopped)
         is_low = active & (z < z_low)
@@ -341,16 +353,18 @@ def _trace_single(ctl_rayds, ctl_raydz, ctl_refrac, nlos,
         ng = jnp.zeros(3, dtype)
         if ctl_refrac:
             def refr_grad(_):
+                # only the altitude is needed here; cart2geo's z is
+                # exactly |x| - RE, so skip its arcsin/arctan2
                 nn = one + refractivity(p, t)
                 xh2 = x + 0.5 * ds * ex
-                z2, _, _ = cart2geo(xh2)
+                z2 = jnp.sqrt(jnp.sum(xh2 * xh2)) - RE
                 p2, t2 = interp_pt(prof.z, prof.p, prof.t, prof.nlev, z2)
                 n2 = refractivity(p2, t2)
                 h = jnp.asarray(0.02, dtype)
 
                 def axis_grad(i):
                     xp = xh2.at[i].add(h)
-                    zp, _, _ = cart2geo(xp)
+                    zp = jnp.sqrt(jnp.sum(xp * xp)) - RE
                     pp, tp = interp_pt(prof.z, prof.p, prof.t, prof.nlev, zp)
                     return (refractivity(pp, tp) - n2) / h
 

@@ -206,3 +206,9 @@ class ShardedForwardModel(ForwardModel):
 
     def _to_host(self, x) -> np.ndarray:
         return host_gather(x).astype(np.float64)
+
+    def _outputs_to_host(self, arrays, r):
+        """Distributed arrays need the per-leaf allgather path (a plain
+        device_get cannot materialise non-addressable shards)."""
+        return tuple(host_gather(a).astype(np.float64)[:r]
+                     for a in arrays)
