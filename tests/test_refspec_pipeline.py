@@ -73,3 +73,53 @@ def test_refspec_window_pipeline(refspec_dir, monkeypatch, capsys):
     np.testing.assert_allclose(spec[:, :11], spec_ref[:, :11],
                                rtol=1e-6, atol=1e-4)
     assert np.abs(spec[:, 11] - spec_ref[:, 11]).max() <= 5e-6 * scale
+
+
+def test_refspec_wide_window_batching(refspec_dir):
+    """Window batching: the reference drives its spectral sweep as
+    fixed 100-channel windows because ND is a compile-time cap
+    (jurassic.h:141, example/refspec/run.sh:7-14).  Runtime shapes
+    remove the cap: ONE wide call over the union of windows must equal
+    the concatenation of the narrow window runs (channels carry no
+    cross-channel state).  Wide calls are also the TPU-efficient shape:
+    nd >= 1024 fills all 8 sublanes of every vector register where
+    nd = 100 uses one."""
+    from jurassic_tpu.config import read_ctl
+    from jurassic_tpu.forward import ForwardModel
+    from jurassic_tpu.io_tab import read_atm, read_obs
+
+    from jurassic_tpu.cli import climatology, limb
+
+    d = refspec_dir
+    base = (GOLD / "template.ctl").read_text()
+    if not (d / "obs.tab").exists():      # self-sufficient when run alone
+        ctl0 = d / "geom.ctl"
+        ctl0.write_text(base.replace("ND = 100", "ND = 1")
+                        + f"NU[0] = {NU0}\n")
+        climatology.main(["climatology", str(ctl0), str(d / "atm.tab")])
+        limb.main(["limb", str(ctl0), str(d / "obs.tab"),
+                   "Z0", "6", "Z1", "66", "DZ", "6.0"])
+
+    def run(ctl_lines, nd):
+        ctl = d / f"wide_{nd}_{hash(ctl_lines) & 0xffff}.ctl"
+        ctl.write_text(ctl_lines)
+        c = read_ctl(["formod", str(ctl), "obs.tab", "atm.tab", "rad"],
+                     verbose=False)
+        c.kernel = "jax"
+        c.tblbase = str(d / "synth")
+        obs = read_obs(d / "obs.tab", c)
+        atm = read_atm(d / "atm.tab", c)
+        ForwardModel(c, directory=str(d)).formod(atm, obs)
+        return obs
+
+    b50 = base.replace("ND = 100", "ND = 50")
+    lo = b50 + "".join(f"NU[{i}] = {NU0 + i}\n" for i in range(50))
+    hi = b50 + "".join(f"NU[{i}] = {NU0 + 50 + i}\n" for i in range(50))
+    wide = base + "".join(f"NU[{i}] = {NU0 + i}\n" for i in range(100))
+    obs_lo, obs_hi, obs_w = run(lo, 50), run(hi, 50), run(wide, 100)
+    np.testing.assert_allclose(
+        obs_w.rad, np.concatenate([obs_lo.rad, obs_hi.rad], axis=1),
+        rtol=1e-12, atol=0)
+    np.testing.assert_allclose(
+        obs_w.tau, np.concatenate([obs_lo.tau, obs_hi.tau], axis=1),
+        rtol=1e-12, atol=0)
