@@ -297,7 +297,7 @@ class ForwardModel:
             want_pallas = (ctl.kernel in ("pallas", "turbo")
                            or (ctl.kernel == "auto" and on_tpu))
             if want_pallas:
-                if ctl.kernel == "turbo":
+                if ctl.kernel in ("turbo", "auto"):
                     # Chebyshev-compressed tables (turbo_fit.py): the
                     # fit is validated against every row at build time;
                     # refuse the mode when the achieved error exceeds
@@ -305,19 +305,27 @@ class ForwardModel:
                     # reference's FAST_INVERSE_OF_U self-validation,
                     # jurassic.c:487-609).  File-backed tables cache
                     # the fitted coefficients beside the table cache
-                    # (READ_BINARY/WRITE_BINARY semantics).
+                    # (READ_BINARY/WRITE_BINARY semantics).  ``auto``
+                    # prefers turbo on accelerators (the reference GPU
+                    # build ships --use_fast_math by default,
+                    # Makefile:71) but falls back to the table kernel
+                    # when validation rejects the fit.
                     self.pallas_tbl, self.turbo_stats = \
                         self._turbo_tables_cached(fast_tables,
                                                   pallas_n_chan,
                                                   directory)
-                    if (self.turbo_stats is not None
-                            and max(self.turbo_stats.max_fwd_err,
-                                    self.turbo_stats.max_inv_err) > 2e-3):
+                    bad = (self.turbo_stats is not None
+                           and max(self.turbo_stats.max_fwd_err,
+                                   self.turbo_stats.max_inv_err) > 2e-3)
+                    if bad and ctl.kernel == "turbo":
                         raise ValueError(
                             "KERNEL = turbo: Chebyshev fit validation "
                             f"failed ({self.turbo_stats}); these tables "
                             "need KERNEL = pallas")
-                else:
+                    if bad:
+                        self.pallas_tbl = None
+                        self.turbo_stats = None
+                if self.pallas_tbl is None:
                     from .ops.pallas import build_pallas_tables
                     self.pallas_tbl = build_pallas_tables(fast_tables,
                                                           pallas_n_chan)
