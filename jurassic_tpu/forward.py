@@ -386,6 +386,15 @@ class ForwardModel:
                 stats = TurboStats(int(sv[0]), *map(float, sv[1:]))
             return pt, stats
         pt, stats = build_turbo_tables(fast_tables, n_chan)
+        if pt is not None and stats is not None:
+            # observability narration (the table-report style of
+            # init_tbl, jurassic.c:429-484)
+            mb = pt.eps_aug.size * 4 / 1e6
+            print(f"# turbo tables: {stats.rows} rows fitted, "
+                  f"max fwd err {stats.max_fwd_err:.2e}, "
+                  f"inv roundtrip {stats.max_inv_err:.2e}, "
+                  f"chord dev {stats.max_chord_dev:.2e}, "
+                  f"{mb:.1f} MByte HBM")
         if pt is not None and cf is not None and ctl.write_binary:
             np.savez(
                 cf, eps_aug=np.asarray(pt.eps_aug),

@@ -140,6 +140,28 @@ def test_turbo_matches_fast_jnp_synthetic():
                   - np.asarray(out_jax.tau)).max() <= 5e-5
 
 
+def test_auto_falls_back_on_unfittable_tables(monkeypatch):
+    """KERNEL = auto prefers turbo on accelerators but must silently
+    fall back to the table kernels when the fit validation rejects the
+    tables (only explicit KERNEL = turbo fails loudly).  The backend
+    check is monkeypatched so the CPU suite exercises the accelerator
+    branch (interpret mode)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    ctl = synthetic_ctl(ng=2, nd=4)
+    ft = synthetic_fast_tables(ctl, n_p=6, n_t=4, n_k=48)
+    rng = np.random.default_rng(0)
+    eps = np.asarray(ft.eps, np.float64)
+    stair = np.cumsum(rng.uniform(0, 1, eps.shape[3]) ** 8, axis=-1)
+    stair = 0.1 + 0.8 * stair / stair[-1]
+    eps[..., :, :] = stair[None, None, None, :, None]
+    ft = ft._replace(eps=eps.astype(np.float32))
+    ctl.kernel = "auto"
+    m = ForwardModel(ctl, fast_tables=ft)      # must not raise
+    assert m.turbo_stats is None               # turbo rejected
+    assert m.kernel_mode == "pallas"           # table-kernel fallback
+    assert m.pallas_tbl.mode == "table"
+
+
 def test_turbo_refuses_unfittable_tables():
     """Build-time validation: jagged (non-smooth) eps rows exceed the
     fit tolerance and KERNEL = turbo must refuse them loudly rather
