@@ -167,7 +167,14 @@ class Ctl:
     nlos: int = NLOS_MAX   # LOS points budget per ray (static shape)
     raypack: int = 0       # rays per pipelined package (0 = one batch);
                            # the stream/package overlap analogue
-                           # (GPUdrivers.cu:176-183, 296-335)
+                           # (GPUdrivers.cu:176-183, 296-335);
+                           # < 0: auto-size from device memory (the
+                           # reference's 90%-of-free lane sizing,
+                           # GPUdrivers.cu:296-321)
+    early_exit: int = 0    # Pallas kernel: stop the LOS loop once all
+                           # lanes are opacity-frozen (exact; wins on
+                           # opaque-limb scans, costs a few % of
+                           # pipelining on transparent ones)
 
     def emitter_index(self, name: str) -> int:
         """find_emitter (jurassic.c:198-207): case-insensitive, -1 if absent."""
@@ -285,6 +292,7 @@ def read_ctl(argv: Sequence[str], verbose: bool = True) -> Ctl:
     ctl.kernel = s.scan("KERNEL", -1, "auto").lower()
     ctl.nlos = s.scan_int("NLOS", -1, str(NLOS_MAX))
     ctl.raypack = s.scan_int("RAYPACK", -1, "0")
+    ctl.early_exit = s.scan_int("EARLY_EXIT", -1, "0")
     return ctl
 
 

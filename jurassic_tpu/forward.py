@@ -38,6 +38,13 @@ from .tables import (EgaTables, FastTables, build_fast_tables,
                      load_tables_cached)
 
 
+N_SEG_STREAM = 8   # ega_fused.N_SEG: fixed stream fields per segment
+
+
+def _round_up_128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
 # ---------------------------------------------------------------------------
 # Device-side table containers
 
@@ -171,7 +178,7 @@ def rt_integrate(tbl, sr, st, nu, cc: ContinuaCoeffs, window, los: LosData,
 
 def rt_pallas_core(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
                    flags, ig_co2, ig_h2o, bbt,
-                   interpret=False) -> RtOut:
+                   interpret=False, early_exit=None) -> RtOut:
     """Unjitted fused-Pallas RT step: the kernel plus the surface
     emission (add_surface_core, jr_common.h:228-234) and brightness
     conversion epilogues, which stay outside the kernel as cheap [R, D]
@@ -180,7 +187,7 @@ def rt_pallas_core(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
     shard-mapped multi-chip driver (parallel/sharded.py)."""
     from .ops.pallas import rt_fused_pallas
     rad, tau = rt_fused_pallas(pt, cc_rows, los, flags, ig_co2, ig_h2o,
-                               interpret=interpret)
+                               interpret=interpret, early_exit=early_exit)
     sr_ = sr.astype(jnp.float32)
     st_ = st.astype(jnp.float32)
     ts = tsurf.astype(jnp.float32)
@@ -192,49 +199,67 @@ def rt_pallas_core(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
 
 
 @partial(jax.jit, static_argnames=("flags", "ig_co2", "ig_h2o", "bbt",
-                                   "interpret"))
+                                   "interpret", "early_exit"))
 def rt_integrate_pallas(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
                         flags, ig_co2, ig_h2o, bbt,
-                        interpret=False) -> RtOut:
+                        interpret=False, early_exit=None) -> RtOut:
     """RT integration through the fused Pallas kernel
     (ops/pallas/ega_fused.py): same contract as :func:`rt_integrate`."""
     return rt_pallas_core(pt, cc_rows, sr, st, nu, los, tsurf,
-                          flags, ig_co2, ig_h2o, bbt, interpret)
+                          flags, ig_co2, ig_h2o, bbt, interpret,
+                          early_exit)
 
 
 # ---------------------------------------------------------------------------
 # FOV convolution (formod_fov, jurassic.c:214-258)
 
 def formod_fov(ctl: Ctl, obs: Obs) -> None:
-    """Convolve rad/tau profiles with the instrument field of view.
+    """Convolve rad/tau profiles with the instrument field of view
+    (formod_fov, jurassic.c:214-258).
 
-    Host-side NumPy: the convolution couples neighbouring rays within one
-    scan (same time stamp) over the +-NFOV window; O(R * NSHAPE * D)."""
+    Fully vectorized host-side NumPy (the round-3 per-ray Python loop
+    became the host bottleneck at 10k+-ray batches): every ray's
+    same-time neighbour window (at most 2 NFOV + 1 candidates) is
+    compacted with a stable sort, the shape-grid interpolation indices
+    come from a batched counted comparison (== searchsorted per row),
+    and the weight sum is one einsum.  Ray-chunked so the [chunk,
+    NSHAPE, D] intermediates stay bounded."""
     if ctl.fov == "-":
         return
     from .config import NFOV
     dz, w = read_shape(ctl.fov)
+    R = obs.nr
     rad0, tau0 = obs.rad.copy(), obs.tau.copy()
-    for ir in range(obs.nr):
-        sel = [ir2 for ir2 in range(max(ir - NFOV, 0),
-                                    min(ir + 1 + NFOV, obs.nr))
-               if obs.time[ir2] == obs.time[ir]]
-        if len(sel) < 2:
-            raise ValueError("Cannot apply FOV convolution!")
-        z = obs.vpz[sel]
-        rad, tau = rad0[sel], tau0[sel]
-        zfov = obs.vpz[ir] + dz
-        # locate() on the ray-altitude grid, then linear interpolation
-        idx = np.clip(np.searchsorted(z, zfov, side="right") - 1,
-                      0, len(sel) - 2)
-        f = (zfov - z[idx]) / (z[idx + 1] - z[idx])
-        wsum = np.sum(w)
-        obs.rad[ir] = np.sum(
-            w[:, None] * (rad[idx] + f[:, None] * (rad[idx + 1] - rad[idx])),
-            axis=0) / wsum
-        obs.tau[ir] = np.sum(
-            w[:, None] * (tau[idx] + f[:, None] * (tau[idx + 1] - tau[idx])),
-            axis=0) / wsum
+    WW = 2 * NFOV + 1
+    ir = np.arange(R)
+    col = np.clip(ir[:, None] + np.arange(-NFOV, NFOV + 1), 0, R - 1)
+    mask = (obs.time[col] == obs.time[:, None]) \
+        & (ir[:, None] + np.arange(-NFOV, NFOV + 1) >= 0) \
+        & (ir[:, None] + np.arange(-NFOV, NFOV + 1) < R)
+    n = mask.sum(axis=1)
+    if (n < 2).any():
+        raise ValueError("Cannot apply FOV convolution!")
+    # compact the selected neighbours to the front, original order kept
+    ordr = np.argsort(~mask, axis=1, kind="stable")
+    colc = np.take_along_axis(col, ordr, axis=1)          # [R, WW]
+    inb = np.arange(WW)[None, :] < n[:, None]
+    zwin = np.where(inb, obs.vpz[colc], np.inf)
+    wsum = np.sum(w)
+    chunk = max(1, (64 << 20) // max(dz.size * obs.rad.shape[1] * 8, 1))
+    for c0 in range(0, R, chunk):
+        sl = slice(c0, min(c0 + chunk, R))
+        zfov = obs.vpz[sl, None] + dz[None, :]            # [r, NS]
+        # locate() on each compacted ray-altitude grid
+        cnt = np.sum(zwin[sl][:, None, :] <= zfov[:, :, None], axis=2)
+        idx = np.clip(cnt - 1, 0, (n[sl] - 2)[:, None])
+        g0 = np.take_along_axis(colc[sl], idx, axis=1)    # [r, NS]
+        g1 = np.take_along_axis(colc[sl], idx + 1, axis=1)
+        z0, z1 = obs.vpz[g0], obs.vpz[g1]
+        f = ((zfov - z0) / (z1 - z0))[:, :, None]
+        for src, dst in ((rad0, obs.rad), (tau0, obs.tau)):
+            v0, v1 = src[g0], src[g1]                     # [r, NS, D]
+            dst[sl] = np.einsum("s,rsd->rd", w,
+                                v0 + f * (v1 - v0)) / wsum
 
 
 # ---------------------------------------------------------------------------
@@ -289,11 +314,34 @@ class ForwardModel:
         self.kernel_mode = "exact" if not self.use_fast else "jax"
         self.pallas_tbl = None
         self.turbo_stats = None
+        # USETPU dispatch (the reference's useGPU -1/0/1 = "if possible
+        # / never / required", CPUdrivers.c:179-193, with USEGPU as the
+        # drop-in ctl alias): 0 pins execution to the host CPU backend
+        # and the jnp pipeline (the CPU-driver analogue) even when an
+        # accelerator backend is active; 1 requires one and errors
+        # otherwise; -1 auto-selects (the default).
+        backend = jax.default_backend()
+        on_tpu = backend not in ("cpu", "gpu")
+        self.exec_device = None
+        if ctl.usetpu == 0:
+            # an EXPLICIT KERNEL = pallas/turbo still runs -- in
+            # interpret mode on the pinned CPU devices (the reference
+            # example ctls ship USEGPU 0 and its CPU build runs the
+            # same physics); only KERNEL = auto re-resolves to the jnp
+            # pipeline here
+            if backend != "cpu":
+                self.exec_device = jax.local_devices(backend="cpu")[0]
+            on_tpu = False
+        elif ctl.usetpu >= 1 and not on_tpu:
+            raise ValueError(
+                "USETPU = 1 (required) but the JAX backend is "
+                f"'{backend}'; select an accelerator via JAX_PLATFORMS "
+                "(the reference aborts the same way when useGPU = 1 "
+                "finds no CUDA device, CPUdrivers.c:185-188)")
         if self.use_fast:
             if fast_tables is None:
                 fast_tables = build_fast_tables(tables)
             self.dev_tbl = fast_tables_to_device(fast_tables)
-            on_tpu = jax.default_backend() not in ("cpu", "gpu")
             want_pallas = (ctl.kernel in ("pallas", "turbo")
                            or (ctl.kernel == "auto" and on_tpu))
             if want_pallas:
@@ -314,9 +362,17 @@ class ForwardModel:
                         self._turbo_tables_cached(fast_tables,
                                                   pallas_n_chan,
                                                   directory)
+                    # gate on fit error AND chord deviation: the fit
+                    # errors bound turbo vs the smooth emissivity
+                    # curve, max_chord_dev bounds turbo vs the TABLE
+                    # kernels' linear-in-u chords (the documented
+                    # ~1-2e-3 contract, turbo_fit.TurboStats) -- a
+                    # pathological high-curvature table must not pass
+                    # on fit quality alone (ADVICE r3)
                     bad = (self.turbo_stats is not None
-                           and max(self.turbo_stats.max_fwd_err,
-                                   self.turbo_stats.max_inv_err) > 2e-3)
+                           and (max(self.turbo_stats.max_fwd_err,
+                                    self.turbo_stats.max_inv_err) > 2e-3
+                                or self.turbo_stats.max_chord_dev > 3e-3))
                     if bad and ctl.kernel == "turbo":
                         raise ValueError(
                             "KERNEL = turbo: Chebyshev fit validation "
@@ -406,15 +462,68 @@ class ForwardModel:
                 stats=np.asarray(list(stats), np.float64))
         return pt, stats
 
+    def per_ray_device_bytes(self) -> int:
+        """Device working-set bytes per ray of one in-flight package:
+        the traced LosData arrays, the Pallas segment/index streams and
+        the rad/tau outputs (tables are process-resident and excluded,
+        like the reference's lane sizing which counts obs/atm/los
+        buffers but not tbl, GPUdrivers.cu:278,296-307)."""
+        ctl = self.ctl
+        S, G, W = ctl.nlos, ctl.ng, ctl.nw
+        b = np.dtype(self.dtype).itemsize
+        los = S * (7 + 2 * G + W) * b                 # LosData fields
+        streams = S * (N_SEG_STREAM + W + G + G * 2 + 2) * 4
+        out = 2 * _round_up_128(max(ctl.nd, 1)) * 4
+        return los + streams + out
+
+    def _resolve_raypack(self, nr: int) -> int:
+        """RAYPACK = 0 (default): auto-size the package so ~4 in-flight
+        packages fit 90% of free device memory (the reference sizes its
+        GPU lane pool to 90% of free, GPUdrivers.cu:296-321); > 0: the
+        explicit knob; < 0: force one monolithic batch.  Auto resolves
+        to one batch when memory stats are unavailable (CPU backend,
+        some plugins) or when the whole batch fits -- so small batches
+        behave exactly as before."""
+        pack = int(self.ctl.raypack)
+        if pack > 0:
+            return pack
+        if pack < 0:
+            return 0
+        try:
+            st = jax.local_devices()[0].memory_stats()
+            free = int(st["bytes_limit"]) - int(st.get("bytes_in_use", 0))
+        except Exception:
+            return 0
+        prb = self.per_ray_device_bytes()
+        budget = int(0.9 * free) // 4                 # ~4 lanes in flight
+        fit = max(budget // max(prb, 1), 1)
+        if fit >= nr:
+            return 0
+        print(f"# RAYPACK auto: {fit} rays/package "
+              f"({prb} B/ray, {free / 1e9:.2f} GB free)")
+        return fit
+
+    def _exec_ctx(self):
+        """USETPU = 0: pin the whole pipeline to the host CPU backend
+        (jit follows the committed default device); no-op otherwise."""
+        import contextlib
+        return (jax.default_device(self.exec_device)
+                if self.exec_device is not None
+                else contextlib.nullcontext())
+
     def integrate(self, los: LosData) -> RtOut:
         """RT integration with the resolved kernel: the fused Pallas
         kernel when selected (jr_fusion_kernel.mv4g.cu analogue), else
         the jnp scan pipeline."""
         if self.kernel_mode == "pallas":
+            # EARLY_EXIT ctl flag (0 leaves the env-var debug override
+            # in charge, which defaults to off)
+            ee = True if self.ctl.early_exit else None
             return rt_integrate_pallas(
                 self.pallas_tbl, self.cc_rows, self.sr, self.st, self.nu,
                 los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
-                bool(self.ctl.write_bbt), self.pallas_interpret)
+                bool(self.ctl.write_bbt), self.pallas_interpret,
+                early_exit=ee)
         return rt_integrate(
             self.dev_tbl, self.sr, self.st, self.nu, self.cc, self.window,
             los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
@@ -535,19 +644,20 @@ class ForwardModel:
                   "no actual computation is performed!")
             return obs
         mask = ~np.isfinite(obs.rad)                  # save_mask
-        pack = int(ctl.raypack)
+        pack = self._resolve_raypack(obs.nr)
         m = max(self.ray_multiple, 1)
-        if ctl.ip == 1 and 0 < pack < obs.nr:
-            self._formod_packaged(atm, obs, -(-pack // m) * m)
-        else:
-            r = obs.nr
-            obs_run = pad_obs(obs, -(-r // m) * m)
-            los = (self.trace(atm, obs_run) if ctl.ip == 1
-                   else self.pencil_trace(atm, obs_run))
-            out = self.integrate(los)
-            (obs.rad, obs.tau, obs.tpz, obs.tplon,
-             obs.tplat) = self._outputs_to_host(
-                 (out.rad, out.tau, los.tpz, los.tplon, los.tplat), r)
+        with self._exec_ctx():
+            if ctl.ip == 1 and 0 < pack < obs.nr:
+                self._formod_packaged(atm, obs, -(-pack // m) * m)
+            else:
+                r = obs.nr
+                obs_run = pad_obs(obs, -(-r // m) * m)
+                los = (self.trace(atm, obs_run) if ctl.ip == 1
+                       else self.pencil_trace(atm, obs_run))
+                out = self.integrate(los)
+                (obs.rad, obs.tau, obs.tpz, obs.tplon,
+                 obs.tplat) = self._outputs_to_host(
+                     (out.rad, out.tau, los.tpz, los.tplon, los.tplat), r)
         formod_fov(ctl, obs)
         obs.rad[mask] = np.nan                        # apply_mask
         return obs

@@ -458,3 +458,56 @@ def read_obs_rfm(basename: str, z: float, nu: np.ndarray,
         * (f[idx + 1] - f[idx])
     fsum = filt.sum()
     return float((filt * rad[sel]).sum() / fsum)
+
+
+def write_atm_rfm(path: str | Path, ctl: Ctl, atm: Atm) -> None:
+    """Write atmospheric data in RFM driver format (write_atm_rfm,
+    jurassic.c:1280-1297): point count, then *HGT/*PRE/*TEM blocks and
+    one *<EMITTER> [ppmv] block per gas, terminated by *END."""
+    path = Path(path)
+    print(f"Write RFM data: {path}")
+    with open(path, "w") as out:
+        out.write(f"{atm.npts}\n")
+        for tag, vals in (("HGT [km]", atm.z), ("PRE [mb]", atm.p),
+                          ("TEM [K]", atm.t)):
+            out.write(f"*{tag}\n")
+            for v in vals:
+                out.write(_fmt_g(v) + "\n")
+        for ig in range(ctl.ng):
+            out.write(f"*{ctl.emitter[ig]} [ppmv]\n")
+            for v in atm.q[ig]:
+                out.write(_fmt_g(v * 1e6) + "\n")
+        out.write("*END\n")
+
+
+def read_atm_rfm(path: str | Path, ctl: Ctl) -> Atm:
+    """Read an RFM driver-format atmosphere back (round-trip companion
+    of :func:`write_atm_rfm`; the reference ships only the writer).
+    Unknown blocks are ignored; gases not present stay zero."""
+    path = Path(path)
+    print(f"Read RFM data: {path}")
+    blocks: dict[str, list[float]] = {}
+    cur: list[float] | None = None
+    with open(path) as f:
+        npts = int(f.readline().split()[0])
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("*"):
+                name = line[1:].split()[0].upper()
+                if name == "END":
+                    break
+                cur = blocks.setdefault(name, [])
+                continue
+            if cur is not None:
+                cur.extend(float(t) for t in line.split())
+    atm = Atm.zeros(npts, ctl.ng, ctl.nw)
+    atm.z = np.array(blocks.get("HGT", np.zeros(npts)))[:npts]
+    atm.p = np.array(blocks.get("PRE", np.zeros(npts)))[:npts]
+    atm.t = np.array(blocks.get("TEM", np.zeros(npts)))[:npts]
+    for ig in range(ctl.ng):
+        g = ctl.emitter[ig].upper()
+        if g in blocks:
+            atm.q[ig] = np.array(blocks[g][:npts]) * 1e-6
+    return atm

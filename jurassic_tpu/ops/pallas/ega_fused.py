@@ -1,4 +1,4 @@
-"""Fused EGA radiative-transfer Pallas TPU kernel.
+"""Fused EGA radiative-transfer Pallas TPU kernel (ray-group form).
 
 The TPU-native equivalent of the reference's fused GPU kernel
 (jr_fusion_kernel.mv4g.cu:1-25, launched block-per-ray /
@@ -12,17 +12,24 @@ reference keeps it in the register file.
 
 TPU-first structure (SURVEY.md section 7 step 6):
 
-* grid over rays; the sequential LOS recursion is an in-kernel
-  ``fori_loop`` (the reference's "non-parallelisable" ip loop,
-  CPUdrivers.c:83);
-* channels ride the 128-lane minor axis of every table row -- the
-  analogue of the reference's channel-minor coalesced layout
-  (jurassic.h:408-411) and thread-per-channel mapping;
+* grid over ray GROUPS of ``RG`` (<= 8) rays: channels ride the
+  128-lane minor axis of every vector and the RG rays ride the vreg
+  SUBLANE axis, so each (8, 128) f32 vreg is fully occupied -- the TPU
+  analogue of the reference's block-per-ray / thread-per-channel
+  occupancy.  (The round-3 kernel processed one ray per grid step on
+  (128,)-lane vectors, idling 7/8 of every vreg at nd <= 128.)
+* rays are sorted by tangent height before grouping, so the rays of a
+  group traverse nearly identical (p, T) table cells in lockstep;
+* the sequential LOS recursion is an in-kernel ``fori_loop`` (the
+  reference's "non-parallelisable" ip loop, CPUdrivers.c:83);
 * the four (pressure, temperature) corner rows per gas are fetched from
-  HBM as dense [2, K, D] slabs by double-buffered async DMA with
-  one-segment lookahead (the corner bracketing is channel-independent,
-  so the fetch is computed in a jnp prologue and prefetched -- the
-  mitigation SURVEY section 7 "hard parts" #1 prescribes);
+  HBM as dense [2, K, 1, D] slabs by double-buffered async DMA with
+  one-segment lookahead; the schedule is GROUP-level: a pair is
+  (re)fetched only on segments where ANY ray of the group changes cell,
+  and within such a segment a ray whose cell equals its left
+  neighbour's copies the neighbour's freshly landed slab VMEM->VMEM
+  instead of re-reading HBM (the cross-ray reuse the reference gets
+  from the GPU read-only cache, __ldg, jr_common.h:307-313);
 * eps-row searches and lookups are branch-free masked reductions over
   the VMEM-resident rows (monotone rows make extraction a masked
   max/min), replacing the reference's per-thread binary searches
@@ -39,6 +46,7 @@ which returns None to signal fallback to the jnp path otherwise).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -57,6 +65,9 @@ N_AUG = 5           # appended rows: log2_u0, t value, p value, valid,
                     # nk2 = clip(count - 2, 0) (precomputed row count)
 N_SEG = 8           # packed per-segment scalars (see _pack_segments)
 N_CC = 12           # packed continuum coefficient rows
+RG_MAX = 8          # rays per group = f32 vreg sublane count
+NBUF = 2            # slab double buffering
+SLAB_BUDGET = 8 << 20   # VMEM budget for the corner slabs [bytes]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -122,6 +133,24 @@ def shard_lanes(x: np.ndarray, n_chan: int) -> np.ndarray:
     return out
 
 
+def _pad_small_axes(ft: FastTables) -> FastTables:
+    """Corner-pair DMAs read rows [ipt, ipt+2) and the (ipr+1) pressure
+    level: pad tiny (stub) tables to P, T >= 2 with invalid rows."""
+    G, P, T, K, D = ft.eps.shape
+    if P >= 2 and T >= 2:
+        return ft
+    P2, T2 = max(P, 2), max(T, 2)
+    pad5 = ((0, 0), (0, P2 - P), (0, T2 - T), (0, 0), (0, 0))
+    return ft._replace(
+        eps=np.pad(ft.eps, pad5),
+        nu=np.pad(ft.nu, pad5[:3] + pad5[4:]),
+        log2_u0=np.pad(ft.log2_u0, pad5[:3] + pad5[4:]),
+        valid=np.pad(ft.valid, pad5[:3] + pad5[4:]),
+        t=np.pad(ft.t, pad5[:3] + pad5[4:]),
+        nt=np.pad(ft.nt, (pad5[0], pad5[1], pad5[4])),
+        p=np.pad(ft.p, (pad5[0], pad5[1], pad5[4])))
+
+
 def _uniform_axes(ft: FastTables):
     """Channel-uniform (p, t) axes per gas, or None when ragged across
     channels (over channels that have a table)."""
@@ -155,43 +184,16 @@ def build_pallas_tables(ft: FastTables,
     G, P, T, K, D = ft.eps.shape
     if n_chan > 1 and D % n_chan != 0:
         return None
-    # corner-pair DMAs read rows [ipt, ipt+2) and the (ipr+1) pressure
-    # level: pad tiny (stub) tables to P, T >= 2 with invalid rows
-    if P < 2 or T < 2:
-        P2, T2 = max(P, 2), max(T, 2)
-        pad5 = ((0, 0), (0, P2 - P), (0, T2 - T), (0, 0), (0, 0))
-        ft = ft._replace(
-            eps=np.pad(ft.eps, pad5),
-            nu=np.pad(ft.nu, pad5[:3] + pad5[4:]),
-            log2_u0=np.pad(ft.log2_u0, pad5[:3] + pad5[4:]),
-            valid=np.pad(ft.valid, pad5[:3] + pad5[4:]),
-            t=np.pad(ft.t, pad5[:3] + pad5[4:]),
-            nt=np.pad(ft.nt, (pad5[0], pad5[1], pad5[4])),
-            p=np.pad(ft.p, (pad5[0], pad5[1], pad5[4])))
-        P, T = P2, T2
+    ft = _pad_small_axes(ft)
+    G, P, T, K, D = ft.eps.shape
     Ds = max(D, 1) // n_chan if n_chan > 1 else max(D, 1)
     Dp = n_chan * _round_up(Ds, LANE)
     K_aug = _round_up(K + N_AUG, 8)
 
-    p_ax = np.zeros((G, P))
-    t_ax = np.zeros((G, P, T))
-    np_u = np.zeros(G, np.int32)
-    nt_u = np.zeros((G, P), np.int32)
-    for g in range(G):
-        chans = np.nonzero(ft.np_[g] >= 2)[0]
-        if chans.size == 0:
-            continue
-        d0 = chans[0]
-        np_u[g] = ft.np_[g, d0]
-        nt_u[g] = ft.nt[g, :, d0]
-        p_ax[g] = ft.p[g, :, d0]
-        t_ax[g] = ft.t[g, :, :, d0]
-        for d in chans[1:]:
-            if (ft.np_[g, d] != np_u[g]
-                    or not np.array_equal(ft.nt[g, :, d], nt_u[g])
-                    or not np.allclose(ft.p[g, :, d], p_ax[g])
-                    or not np.allclose(ft.t[g, :, :, d], t_ax[g])):
-                return None  # ragged across channels: jnp path handles it
+    ax = _uniform_axes(ft)
+    if ax is None:
+        return None
+    p_ax, t_ax, np_u, nt_u = ax
 
     eps_aug = np.zeros((G, P * T, K_aug, Dp), np.float32)
 
@@ -304,48 +306,96 @@ def _corner_indices(p_ax, t_ax, np_u, nt_u, p_seg, t_seg):
     return jnp.stack([ipt00, ipt10], axis=-1).astype(jnp.int32)
 
 
-def _pack_corner_meta(idx):
-    """Fold the per-segment corner DMA schedule into the index stream.
+def _freeze_beyond_np(idx, np_):
+    """Clamp each ray's corner-index stream beyond its active LOS bound
+    to its last active value, so inactive segments never contribute
+    cell changes to the group fetch schedule.  idx: [R, S, G, 2]."""
+    R, S = idx.shape[:2]
+    s_cl = jnp.minimum(jnp.arange(S)[None, :],
+                       (jnp.clip(np_, 1, S) - 1)[:, None])    # [R, S]
+    return jnp.take_along_axis(
+        idx, jnp.broadcast_to(s_cl[:, :, None, None], idx.shape), axis=1)
+
+
+def _group_schedule(idx, rg: int):
+    """Fold the corner-pair DMA schedule into a packed index stream.
 
     Consecutive LOS segments mostly bracket the SAME (p, T) cell (a
-    40x30 grid vs ~400 segments), so re-issuing all corner-pair DMAs
-    every segment wastes multi-x HBM traffic -- the reuse the reference
-    gets for free from the GPU read-only cache (__ldg,
-    jr_common.h:307-313).  Per (ray, segment, gas, pair) we precompute:
+    40x30 grid vs ~400 segments), and the rays of a tangent-sorted
+    group mostly bracket the same cell as each other, so the schedule
+    is GROUP-level: per (group, segment, gas, pair)
 
-      chg  -- 1 iff the pair index differs from the previous segment
-              (segment 0 always fetches);
-      buf  -- which of two VMEM slab buffers holds this pair's rows:
-              (number of changes so far - 1) mod 2, so a newly fetched
-              slab always lands in the buffer NOT being read.
+      chg_grp -- 1 iff ANY ray of the group changes cell at this
+                 segment (segment 0 always fetches);
+      buf     -- which of two VMEM slab buffers this segment reads:
+                 (number of group changes so far - 1) mod 2, shared by
+                 the whole group so compute reads stay single-indexed;
 
-    Packed as ``ipt * 4 + buf * 2 + chg`` (ipt < P*T <= 1200, so the
-    packed value stays far inside int32) -- zero extra SMEM.
+    and per ray within a changing segment
 
-    idx: [R, S, G, 2] int32 corner-pair start rows."""
-    chg = jnp.concatenate(
-        [jnp.ones_like(idx[:, :1]),
-         (idx[:, 1:] != idx[:, :-1]).astype(jnp.int32)], axis=1)
-    buf = (jnp.cumsum(chg, axis=1) - 1) % 2
-    return idx * 4 + buf * 2 + chg
+      fetch   -- 1 for the first ray of each run of equal cells: issue
+                 the HBM DMA;
+      copyl   -- 1 for the remaining rays of a run: copy the left
+                 neighbour's freshly landed slab VMEM->VMEM (the
+                 cross-ray reuse; zero HBM traffic).
+
+    Packed per (s, g, pair, ray) as ``ipt * 8 + buf * 4 + copyl * 2 +
+    fetch`` (ipt < P*T <= 1200, far inside int32).
+
+    idx: [R, S, G, 2] int32 (R a multiple of rg, streams already frozen
+    beyond each ray's np).  Returns [R/rg, S, G, 2, rg] int32."""
+    R, S, G, _ = idx.shape
+    gi = idx.reshape(R // rg, rg, S, G, 2)
+    chg_own = jnp.concatenate(
+        [jnp.ones_like(gi[:, :, :1]),
+         (gi[:, :, 1:] != gi[:, :, :-1]).astype(jnp.int32)], axis=2)
+    chg_grp = jnp.max(chg_own, axis=1, keepdims=True)   # [NG,1,S,G,2]
+    buf = (jnp.cumsum(chg_grp, axis=2) - 1) % 2
+    left = jnp.concatenate(
+        [jnp.full_like(gi[:, :1], -1), gi[:, :-1]], axis=1)
+    first_or_new = ((jnp.arange(rg)[None, :, None, None, None] == 0)
+                    | (gi != left)).astype(jnp.int32)
+    fetch = chg_grp * first_or_new
+    copyl = chg_grp * (1 - first_or_new)
+    packed = gi * 8 + buf * 4 + copyl * 2 + fetch
+    return jnp.moveaxis(packed, 1, -1)                  # [NG, S, G, 2, rg]
 
 
-def dma_pair_count(idx, np_, nlos) -> jax.Array:
-    """Number of corner-pair DMAs the kernel will actually issue
-    (roofline bytes-moved model): changed pairs within each ray's
-    active LOS bound.  idx: [R, S, G, 2]; np_: [R]."""
-    chg = jnp.concatenate(
-        [jnp.ones_like(idx[:, :1]),
-         (idx[:, 1:] != idx[:, :-1]).astype(jnp.int32)], axis=1)
-    nb = jnp.clip(np_, 1, nlos)
-    s_iota = jnp.arange(idx.shape[1])[None, :, None, None]
-    active = s_iota < nb[:, None, None, None]
-    return jnp.sum(jnp.where(active, chg, 0))
+def dma_schedule_stats(pt: "PallasTables", los):
+    """(RG, HBM pair fetches, VMEM neighbour copies) for the schedule
+    :func:`rt_fused_pallas` will run on this workload -- the roofline
+    bytes-moved model.  Replicates the driver's tangent sort, group
+    padding and beyond-np freezing exactly."""
+    G, PT, K_aug, Dp = pt.eps_aug.shape
+    R, S = los.ds.shape
+    RG = resolve_rg(G, K_aug, Dp)
+    order = jnp.argsort(los.tpz)
+    Rp = _round_up(R, RG)
+    perm = jnp.concatenate(
+        [order, jnp.broadcast_to(order[-1:], (Rp - R,))]) if Rp > R \
+        else order
+    p, t, np_ = los.p[perm], los.t[perm], los.np_[perm]
+    idx = _freeze_beyond_np(
+        _corner_indices(jnp.asarray(pt.p_ax, p.dtype),
+                        jnp.asarray(pt.t_ax, p.dtype),
+                        jnp.asarray(pt.np_u), jnp.asarray(pt.nt_u),
+                        p, t),
+        np_)
+    packed = _group_schedule(idx, RG)
+    return (RG, int(jnp.sum(packed & 1)),
+            int(jnp.sum((packed >> 1) & 1)))
 
 
 def _pack_segments(los, ig_co2: int, ig_h2o: int):
-    """[R, S, N_SEG + W] f32: valid, p, t, ds, q_h2o, u_co2, u_h2o,
-    pad, k[0..W-1]."""
+    """Per-(ray, segment) stream tensor [R, S, F] f32 with the lane
+    (minor) axis indexing the field:
+
+      0 valid, 1 p, 2 t, 3 ds, 4 q_h2o, 5 u_co2, 6 u_h2o, 7 pad,
+      8 .. 8+W-1   gray extinction k per window,
+      8+W .. 8+W+G-1  column density u per gas.
+
+    In-kernel a field is a static LANE extract and a segment a dynamic
+    SUBLANE slice -- both natively supported layouts."""
     R, S = los.ds.shape
     f32 = jnp.float32
     z = jnp.zeros((R, S), f32)
@@ -356,7 +406,8 @@ def _pack_segments(los, ig_co2: int, ig_h2o: int):
             los.u[:, :, ig_h2o].astype(f32) if ig_h2o >= 0 else z,
             z]
     seg = jnp.stack(cols, axis=-1)
-    return jnp.concatenate([seg, los.k.astype(f32)], axis=-1)
+    return jnp.concatenate([seg, los.k.astype(f32),
+                            los.u.astype(f32)], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +425,7 @@ def _c01(x):
 
 
 def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
-                 flags, ig_co2: int, ig_h2o: int, n_src: int,
+                 RG: int, flags, ig_co2: int, ig_h2o: int, n_src: int,
                  early_exit: bool = False, mode: str = "table",
                  deg_f: int = 0, deg_i: int = 0):
     """Build the kernel body with all shape/config statics burned in
@@ -388,14 +439,19 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
     expressible as a gather on TPU -- the branch-free masked max/min
     over monotone rows is the fastest available exact mechanism.
 
-    ``early_exit``: stop the LOS loop once every channel lane is frozen
-    by opacity (exact; see the loop-form comment below)."""
+    All working vectors are [RG, Dp]: RG rays on the vreg sublane axis,
+    channels on the lanes.
+
+    ``early_exit``: stop the LOS loop once every channel lane of every
+    ray is frozen by opacity (exact; see the loop-form comment below).
+    Lanes with no gas table at all (all-gas chan_mask == 0, including
+    the Dp padding lanes) keep factor = 1 forever and are masked as
+    already-frozen so they cannot pin the loop open."""
     f_co2, f_h2o, f_n2, f_o2 = flags
     R6 = np.float32(LOG2_RATIO_U)
     RATIO = np.float32(2.0 ** LOG2_RATIO_U)
-    iota_k = None  # built inside (2D iota requirement)
 
-    SEGW = N_SEG + W
+    F_SEG = N_SEG + W + G         # stream-tensor lane count
     if mode == "turbo":
         J_f, J_i = deg_f + 1, deg_i + 1
         AUX = J_f + J_i             # first aux row (turbo_fit layout)
@@ -403,56 +459,88 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
     else:
         ROW_T, ROW_P, ROW_VALID = K + 1, K + 2, K + 3
 
-    def kernel(np_ref, idx_ref, seg_ref, useg_ref, cc_ref, sr_ref, cm_ref,
-               eps_hbm, rad_ref, tau_ref, slab, sem):
-        # SMEM blocks are flattened [1, S*width]: small trailing dims
-        # would be tile-padded far past the SMEM budget otherwise
-        iota_k = (jax.lax.broadcasted_iota(jnp.int32, (K, Dp), 0)
+    def kernel(np_ref, idx_ref, tsm_ref, seg_ref, cc_ref, sr_ref, cm_ref,
+               eps_hbm, *out_and_scratch):
+        if early_exit:
+            rad_ref, tau_ref, send_ref, slab, sem = out_and_scratch
+        else:
+            rad_ref, tau_ref, slab, sem = out_and_scratch
+        iota_k = (jax.lax.broadcasted_iota(jnp.int32, (K, 1, Dp), 0)
                   if mode != "turbo" else None)
-        # dynamic LOS bound: loop only the ray's actual point count
+        # dynamic LOS bound: loop only the group's actual point count
         # (the reference's per-ray np[ir], CPUdrivers.c:66); at least 1
         # so the prefetch issued before the loop is always consumed
-        nb = jnp.clip(np_ref[0, 0, 0], 1, S)
+        nb = np_ref[0, 0, 0]
+        for r in range(1, RG):
+            nb = jnp.maximum(nb, np_ref[0, 0, r])
+        nb = jnp.clip(nb, 1, S)
 
-        def meta(s, g, c):
-            """(ipt, buf, chg) for one corner pair (_pack_corner_meta)."""
-            v = idx_ref[0, 0, s * (G * 2) + g * 2 + c]
-            return v >> 2, (v >> 1) & 1, v & 1
+        def meta(s, g, c, r):
+            """(ipt, buf, copyl, fetch) for one (corner pair, ray)
+            (_group_schedule)."""
+            v = idx_ref[0, 0, ((s * G + g) * 2 + c) * RG + r]
+            return v >> 3, (v >> 2) & 1, (v >> 1) & 1, v & 1
 
-        def copy(ipt, b, g, c):
+        def copy(ipt, b, g, c, r):
             return pltpu.make_async_copy(
-                eps_hbm.at[g, pl.ds(ipt, 2)],
-                slab.at[b, g, pl.ds(2 * c, 2)],
-                sem.at[b, g, c])
+                eps_hbm.at[g, pl.ds(ipt, 2), :, pl.ds(0, 1), :],
+                slab.at[b, g, pl.ds(2 * c, 2), :, pl.ds(r, 1), :],
+                sem.at[b, g, c, r])
 
         def start(s):
-            """Issue DMAs only for pairs whose cell changed at s; a new
-            slab lands in the buffer the current segment is NOT reading
-            (buf parity from the prologue), so the fetch of segment
-            s+1's cells overlaps segment s's compute."""
+            """Issue HBM DMAs only for run-leader rays of pairs whose
+            cell changed at s; a new slab lands in the buffer the
+            current segment is NOT reading (group-level buf parity), so
+            the fetch of segment s+1's cells overlaps segment s's
+            compute."""
             for g in range(G):
                 for c in range(2):
-                    ipt, b, chg = meta(s, g, c)
+                    for r in range(RG):
+                        ipt, b, _cl, f = meta(s, g, c, r)
 
-                    @pl.when(chg == 1)
-                    def _(ipt=ipt, b=b, g=g, c=c):
-                        copy(ipt, b, g, c).start()
+                        @pl.when(f == 1)
+                        def _(ipt=ipt, b=b, g=g, c=c, r=r):
+                            copy(ipt, b, g, c, r).start()
 
         def wait(s):
             for g in range(G):
                 for c in range(2):
-                    ipt, b, chg = meta(s, g, c)
+                    for r in range(RG):
+                        ipt, b, _cl, f = meta(s, g, c, r)
 
-                    @pl.when(chg == 1)
-                    def _(ipt=ipt, b=b, g=g, c=c):
-                        copy(ipt, b, g, c).wait()
+                        @pl.when(f == 1)
+                        def _(ipt=ipt, b=b, g=g, c=c, r=r):
+                            copy(ipt, b, g, c, r).wait()
+
+        def chain(s):
+            """Left-neighbour slab reuse: a ray whose cell equals ray
+            r-1's copies its slab VMEM->VMEM (ascending r, so chained
+            runs resolve in one pass).  Runs after wait(s): the run
+            leader's HBM fetch has landed."""
+            for g in range(G):
+                for c in range(2):
+                    for r in range(1, RG):
+                        _ipt, b, cl, _f = meta(s, g, c, r)
+
+                        @pl.when(cl == 1)
+                        def _(b=b, g=g, c=c, r=r):
+                            slab[b, g, 2 * c, :, r, :] = \
+                                slab[b, g, 2 * c, :, r - 1, :]
+                            slab[b, g, 2 * c + 1, :, r, :] = \
+                                slab[b, g, 2 * c + 1, :, r - 1, :]
 
         start(0)
 
+        def field(s, f):
+            """Stream field f at segment s: [RG, 1] (dynamic sublane
+            slice, static lane extract)."""
+            return seg_ref[:, pl.ds(s, 1), f]
+
         def bracket(row, i):
-            """(row[i], row[i+1]) per lane: one complement mask feeds
-            both the max and the min (monotone rows with BIG padding
-            make extraction a masked max/min)."""
+            """(row[i], row[i+1]) per (ray, lane): one complement mask
+            feeds both the max and the min (monotone rows with BIG
+            padding make extraction a masked max/min).  row: [K, RG,
+            Dp]; i: [RG, Dp]."""
             m = iota_k <= i[None]
             lo = jnp.max(jnp.where(m, row, -BIG), axis=0)
             hi = jnp.min(jnp.where(m, BIG, row), axis=0)
@@ -460,14 +548,14 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 
         def cheb(b, g, c, off, J, x):
             """Clenshaw evaluation of the Chebyshev expansion stored in
-            slab rows [off, off+J) -- O(J) FMAs on [Dp] vectors instead
-            of the table path's O(K) full-row passes."""
+            slab rows [off, off+J) -- O(J) FMAs on [RG, Dp] vregs
+            instead of the table path's O(K) full-row passes."""
             x2 = 2.0 * x
-            b1 = jnp.zeros((Dp,), jnp.float32)
-            b2 = jnp.zeros((Dp,), jnp.float32)
+            b1 = jnp.zeros((RG, Dp), jnp.float32)
+            b2 = jnp.zeros((RG, Dp), jnp.float32)
             for j in range(J - 1, 0, -1):
-                b1, b2 = x2 * b1 - b2 + slab[b, g, c, off + j, :], b1
-            return x * b1 - b2 + slab[b, g, c, off, :]
+                b1, b2 = x2 * b1 - b2 + slab[b, g, c, off + j, :, :], b1
+            return x * b1 - b2 + slab[b, g, c, off, :, :]
 
         def eta_of(target):
             """Curve-of-growth transform of the inversion target --
@@ -485,17 +573,17 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             eps(u + u_seg) re-lookup through the eta-space Chebyshev
             pair (turbo_fit.py), with the exact path's out-of-range
             linear extensions and guards replicated."""
-            l2u0 = slab[b, g, c, AUX + 0, :]
-            k_hi = slab[b, g, c, AUX + 1, :]
-            e0 = slab[b, g, c, AUX + 2, :]
-            e1 = slab[b, g, c, AUX + 3, :]
-            e2nd = slab[b, g, c, AUX + 4, :]
-            emax = slab[b, g, c, AUX + 5, :]
-            ends = slab[b, g, c, AUX + 6, :]
-            eta0 = slab[b, g, c, AUX + 7, :]
-            etah = slab[b, g, c, AUX + 8, :]
-            u0 = slab[b, g, c, AUX + 12, :]
-            u_n1 = slab[b, g, c, AUX + 13, :]
+            l2u0 = slab[b, g, c, AUX + 0, :, :]
+            k_hi = slab[b, g, c, AUX + 1, :, :]
+            e0 = slab[b, g, c, AUX + 2, :, :]
+            e1 = slab[b, g, c, AUX + 3, :, :]
+            e2nd = slab[b, g, c, AUX + 4, :, :]
+            emax = slab[b, g, c, AUX + 5, :, :]
+            ends = slab[b, g, c, AUX + 6, :, :]
+            eta0 = slab[b, g, c, AUX + 7, :, :]
+            etah = slab[b, g, c, AUX + 8, :, :]
+            u0 = slab[b, g, c, AUX + 12, :, :]
+            u_n1 = slab[b, g, c, AUX + 13, :, :]
             u1 = u0 * RATIO
             u_n2 = u_n1 * np.float32(2.0 ** -LOG2_RATIO_U)
             # inversion: precomputed eta(target) -> normalized xi -> k
@@ -557,6 +645,24 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             u_lo = jnp.exp2(l2u0 + fk * R6)
             return _c01(_lipg(u_lo, e_lo, u_lo * RATIO, e_hi, u_new))
 
+        def source(s, t_s):
+            """Per-ray source radiance rows [RG, Dp]: the table index
+            (int)(4 T) - 400 (locate_st, jr_common.h:83-84) differs per
+            ray, so each ray's row pair comes from its SMEM temperature
+            scalar (a [Dp] dynamic row slice per ray, stacked on the
+            sublane axis)."""
+            del t_s
+            rows = []
+            for r in range(RG):
+                t_r = tsm_ref[0, 0, s * RG + r]
+                it = jnp.clip((4.0 * t_r).astype(jnp.int32) - 400,
+                              0, n_src - 2)
+                st0 = 100.0 + 0.25 * it.astype(jnp.float32)
+                sr0 = sr_ref[it]
+                rows.append(sr0 + (t_r - st0) * (sr_ref[it + 1] - sr0)
+                            * 4.0)
+            return jnp.stack(rows, axis=0)
+
         def body(s, carry):
             rad, tau, tau_path = carry
 
@@ -565,20 +671,20 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                 start(s + 1)
 
             wait(s)
+            chain(s)
 
-            sb = s * SEGW
-            valid_s = seg_ref[0, 0, sb + 0] > 0.0
-            p_s = seg_ref[0, 0, sb + 1]
-            t_s = seg_ref[0, 0, sb + 2]
-            ds_s = seg_ref[0, 0, sb + 3]
-            q_h2o = seg_ref[0, 0, sb + 4]
-            u_co2 = seg_ref[0, 0, sb + 5]
-            u_h2o = seg_ref[0, 0, sb + 6]
+            valid_s = field(s, 0) > 0.0                    # [RG, 1]
+            p_s = field(s, 1)
+            t_s = field(s, 2)
+            ds_s = field(s, 3)
+            q_h2o = field(s, 4)
+            u_co2 = field(s, 5)
+            u_h2o = field(s, 6)
 
             # --- continua (continua_core, jr_common.h:397-409) --------
-            kw = jnp.zeros((Dp,), jnp.float32)
+            kw = jnp.zeros((RG, Dp), jnp.float32)
             for w in range(W):
-                kw = kw + seg_ref[0, 0, sb + N_SEG + w] * cc_ref[N_CC + w]
+                kw = kw + field(s, N_SEG + w) * cc_ref[N_CC + w]
             bds = kw * ds_s
             if f_co2:
                 dt230, dt260, dt296 = t_s - 230.0, t_s - 260.0, t_s - 296.0
@@ -610,14 +716,14 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                                         * 0.21 * cc_ref[10])
 
             # --- EGA per gas (apply_ega_core, jr_common.h:271-290) ----
-            tau_gas = jnp.ones((Dp,), jnp.float32)
+            tau_gas = jnp.ones((RG, Dp), jnp.float32)
             new_rows = []
             for g in range(G):
                 tp = tau_path[g]
                 target = 1.0 - tp
-                u_seg = useg_ref[0, 0, s * G + g]
-                _, b0, _ = meta(s, g, 0)
-                _, b1, _ = meta(s, g, 1)
+                u_seg = field(s, N_SEG + W + g)
+                _, b0, _, _ = meta(s, g, 0, 0)
+                _, b1, _, _ = meta(s, g, 1, 0)
                 eps_c = []
                 okl = cm_ref[g]
                 eta_t = eta_of(target) if mode == "turbo" else None
@@ -627,19 +733,19 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                         eps_c.append(
                             poly_lookup(b, g, c, target, eta_t, u_seg))
                     else:
-                        row = slab[b, g, c, :K, :]
-                        l2u0 = slab[b, g, c, K, :]
-                        nk2 = slab[b, g, c, K + 4, :].astype(jnp.int32)
+                        row = slab[b, g, c, :K, :, :]
+                        l2u0 = slab[b, g, c, K, :, :]
+                        nk2 = slab[b, g, c, K + 4, :, :].astype(jnp.int32)
                         eps_c.append(
                             row_lookup(row, l2u0, nk2, target, u_seg))
-                    okl = okl * slab[b, g, c, ROW_VALID, :]
+                    okl = okl * slab[b, g, c, ROW_VALID, :, :]
                 # bilinear: t within each p row, then p (jr_common.h:259-265)
-                t00 = slab[b0, g, 0, ROW_T, :]
-                t01 = slab[b0, g, 1, ROW_T, :]
-                t10 = slab[b1, g, 2, ROW_T, :]
-                t11 = slab[b1, g, 3, ROW_T, :]
-                p0 = slab[b0, g, 0, ROW_P, :]
-                p1 = slab[b1, g, 2, ROW_P, :]
+                t00 = slab[b0, g, 0, ROW_T, :, :]
+                t01 = slab[b0, g, 1, ROW_T, :, :]
+                t10 = slab[b1, g, 2, ROW_T, :, :]
+                t11 = slab[b1, g, 3, ROW_T, :, :]
+                p0 = slab[b0, g, 0, ROW_P, :, :]
+                p1 = slab[b1, g, 2, ROW_P, :, :]
                 eps_p0 = _c01(_lipg(t00, eps_c[0], t01, eps_c[1], t_s))
                 eps_p1 = _c01(_lipg(t10, eps_c[2], t11, eps_c[3], t_s))
                 eps_t = _c01(_lipg(p0, eps_p0, p1, eps_p1, p_s))
@@ -652,20 +758,16 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             tau_path = jnp.stack(new_rows, axis=0)
 
             # --- source + integration (new_obs_core) ------------------
-            it = jnp.clip((4.0 * t_s).astype(jnp.int32) - 400, 0, n_src - 2)
-            st0 = 100.0 + 0.25 * it.astype(jnp.float32)
-            sr0 = sr_ref[it]
-            sr1 = sr_ref[it + 1]
-            src = sr0 + (t_s - st0) * (sr1 - sr0) * 4.0
+            src = source(s, t_s)
             eps_tot = 1.0 - tau_gas * jnp.exp(-bds)
             upd = valid_s & (tau_gas > 0.0)
             rad = jnp.where(upd, rad + src * eps_tot * tau, rad)
             tau = jnp.where(upd, tau * (1.0 - eps_tot), tau)
             return rad, tau, tau_path
 
-        rad0 = jnp.zeros((Dp,), jnp.float32)
-        tau0 = jnp.ones((Dp,), jnp.float32)
-        tp0 = jnp.ones((G, Dp), jnp.float32)
+        rad0 = jnp.zeros((RG, Dp), jnp.float32)
+        tau0 = jnp.ones((RG, Dp), jnp.float32)
+        tp0 = jnp.ones((G, RG, Dp), jnp.float32)
 
         if not early_exit:
             rad, tau, _ = jax.lax.fori_loop(0, nb, body, (rad0, tau0, tp0))
@@ -674,18 +776,23 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             # gas with tau_path < TAU_OPAQUE, its factor is pinned to 0,
             # so tau_gas = 0 and the lane's rad/tau are frozen for every
             # remaining segment (new_obs_core's tau_gas > 0 guard).
-            # When every lane is frozen the rest of the LOS loop is
-            # bitwise no-ops -- stop it.  The reference loops all np
-            # points (CPUdrivers.c:66-83); the exit changes nothing in
-            # the output.  Off by default: a while_loop forfeits
-            # cross-iteration pipelining, which costs ~4% when rays
-            # never fully saturate (the steady-state bench); worth
-            # enabling for opaque-limb workloads (low tangent heights
-            # through the troposphere).
+            # When every live lane of every ray is frozen the rest of
+            # the LOS loop is bitwise no-ops -- stop it.  The reference
+            # loops all np points (CPUdrivers.c:66-83); the exit changes
+            # nothing in the output.  Lanes with no table for any gas
+            # (incl. the Dp padding) never saturate and are masked as
+            # already-frozen (they contribute factor = 1 identically).
+            # Off by default: a while_loop forfeits cross-iteration
+            # pipelining, which costs a few % when rays never fully
+            # saturate; worth enabling for opaque-limb workloads (low
+            # tangent heights through the troposphere).
+            dead_lane = jnp.max(cm_ref[:, :], axis=0) <= 0.0      # [Dp]
+
             def cond(carry):
                 s, _rad, _tau, tau_path = carry
-                live = jnp.max(jnp.min(tau_path, axis=0)) \
-                    >= np.float32(TAU_OPAQUE)
+                lanemin = jnp.min(tau_path, axis=0)               # [RG, Dp]
+                lanemin = jnp.where(dead_lane[None, :], 0.0, lanemin)
+                live = jnp.max(lanemin) >= np.float32(TAU_OPAQUE)
                 return (s < nb) & live
 
             def wbody(carry):
@@ -704,81 +811,136 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             def _():
                 wait(s_end)
 
-        rad_ref[0, 0, :] = rad
-        tau_ref[0, 0, :] = tau
+            send_ref[0, :, :] = jnp.full((RG, Dp), s_end, jnp.int32)
+
+        rad_ref[0, :, :] = rad
+        tau_ref[0, :, :] = tau
 
     return kernel
+
+
+def resolve_rg(G: int, K_aug: int, Dp: int) -> int:
+    """Rays per grid step: as many sublanes as the corner-slab VMEM
+    budget allows (the analogue of the reference's GPU_SHARED_MEMORY
+    sizing knob, jurassic.h:344-345).  Turbo tables (K_aug ~ 32) run
+    the full 8; big table-mode slabs (K_aug ~ 232) step down."""
+    env = os.environ.get("JURASSIC_PALLAS_RG")
+    if env:
+        return max(1, min(RG_MAX, int(env)))
+    rg = RG_MAX
+    while rg > 1 and NBUF * G * 4 * K_aug * rg * Dp * 4 > SLAB_BUDGET:
+        rg //= 2
+    return rg
 
 
 def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
                     ig_co2: int, ig_h2o: int,
                     interpret: bool = False,
-                    early_exit: bool | None = None):
-    """Run the fused kernel over all rays; returns (rad, tau) [R, D] f32.
+                    early_exit: bool | None = None,
+                    return_s_end: bool = False):
+    """Run the fused kernel over all rays; returns (rad, tau) [R, D] f32
+    (plus the per-group early-exit segment counts when requested).
 
-    The grid iterates rays (sequential on a TPU core, pipelined block
-    fetches); surface emission and brightness conversion stay outside
-    (cheap [R, D] epilogues, like the separate surface/BT kernels,
-    GPUdrivers.cu:234-240).
+    The grid iterates tangent-sorted ray groups (sequential on a TPU
+    core, pipelined block fetches); the sort is a device-side gather,
+    and the outputs are scattered back to input order, so the kernel is
+    bitwise independent of the caller's ray order.  Surface emission
+    and brightness conversion stay outside (cheap [R, D] epilogues,
+    like the separate surface/BT kernels, GPUdrivers.cu:234-240).
     """
     G, PT, K_aug, Dp = pt.eps_aug.shape
     K = pt.k_rows
     R, S = los.ds.shape
     W = los.k.shape[2]
     n_src = pt.sr.shape[0]
+    RG = resolve_rg(G, K_aug, Dp)
 
-    idx = _pack_corner_meta(_corner_indices(
-        jnp.asarray(pt.p_ax, los.p.dtype), jnp.asarray(pt.t_ax, los.p.dtype),
-        jnp.asarray(pt.np_u), jnp.asarray(pt.nt_u), los.p, los.t))
-    seg = _pack_segments(los, ig_co2, ig_h2o)
-    useg = los.u.astype(jnp.float32)
+    # sort by tangent height so each group's rays traverse nearly
+    # identical table cells (maximises fetch skipping + neighbour
+    # reuse); pad the ray axis to the group multiple with the last ray
+    order = jnp.argsort(los.tpz)
+    Rp = _round_up(R, RG)
+    perm = jnp.concatenate(
+        [order, jnp.broadcast_to(order[-1:], (Rp - R,))]) if Rp > R \
+        else order
+    los = jax.tree_util.tree_map(lambda a: a[perm], los)
+    NG = Rp // RG
 
-    import os
+    idx = _freeze_beyond_np(
+        _corner_indices(
+            jnp.asarray(pt.p_ax, los.p.dtype),
+            jnp.asarray(pt.t_ax, los.p.dtype),
+            jnp.asarray(pt.np_u), jnp.asarray(pt.nt_u), los.p, los.t),
+        los.np_)
+    sched = _group_schedule(idx, RG).reshape(NG, 1, S * G * 2 * RG)
+    seg = _pack_segments(los, ig_co2, ig_h2o)          # [Rp, S, F]
+    F_SEG = seg.shape[2]
+    t_smem = jnp.transpose(
+        los.t.astype(jnp.float32).reshape(NG, RG, S),
+        (0, 2, 1)).reshape(NG, 1, S * RG)
+    np_grp = los.np_.astype(jnp.int32).reshape(NG, 1, RG)
+
     if early_exit is None:
         early_exit = bool(int(os.environ.get(
             "JURASSIC_PALLAS_EARLY_EXIT", "0")))
-    kernel = _make_kernel(G, S, K, K_aug, Dp, W, tuple(flags),
+    kernel = _make_kernel(G, S, K, K_aug, Dp, W, RG, tuple(flags),
                           ig_co2, ig_h2o, n_src, early_exit,
                           pt.mode, pt.deg_f, pt.deg_i)
 
-    slab_bytes = 2 * G * 4 * K_aug * Dp * 4
-    vlim = slab_bytes + pt.sr.size * 4 + 4 * 1024 * 1024
+    slab_bytes = NBUF * G * 4 * K_aug * RG * Dp * 4
+    stream_bytes = 2 * RG * S * F_SEG * 4       # double-buffered block
+    vlim = slab_bytes + stream_bytes + pt.sr.size * 4 + 6 * 1024 * 1024
 
-    rad, tau = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, RG, Dp), lambda r: (r, 0, 0)),
+        pl.BlockSpec((1, RG, Dp), lambda r: (r, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((NG, RG, Dp), jnp.float32),
+        jax.ShapeDtypeStruct((NG, RG, Dp), jnp.float32),
+    ]
+    if early_exit:
+        out_specs.append(pl.BlockSpec((1, RG, Dp), lambda r: (r, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((NG, RG, Dp), jnp.int32))
+
+    outs = pl.pallas_call(
         kernel,
-        grid=(R,),
+        grid=(NG,),
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda r: (r, 0, 0),
+            pl.BlockSpec((1, 1, RG), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, S * G * 2), lambda r: (r, 0, 0),
+            pl.BlockSpec((1, 1, S * G * 2 * RG), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, S * (N_SEG + W)), lambda r: (r, 0, 0),
+            pl.BlockSpec((1, 1, S * RG), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, S * G), lambda r: (r, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RG, S, F_SEG), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cc rows
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sr
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chan_mask
             pl.BlockSpec(memory_space=pl.ANY),       # eps_aug (HBM)
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, Dp), lambda r: (r, 0, 0)),
-            pl.BlockSpec((1, 1, Dp), lambda r: (r, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, 1, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1, Dp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, G, 4, K_aug, Dp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, G, 2)),
+            pltpu.VMEM((NBUF, G, 4, K_aug, RG, Dp), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, G, 2, RG)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vlim)),
         interpret=interpret,
-    )(los.np_.astype(jnp.int32).reshape(R, 1, 1),
-      idx.reshape(R, 1, S * G * 2), seg.reshape(R, 1, S * (N_SEG + W)),
-      useg.reshape(R, 1, S * G), cc_rows, pt.sr, pt.chan_mask, pt.eps_aug)
+    )(np_grp, sched, t_smem, seg, cc_rows, pt.sr, pt.chan_mask,
+      pt.eps_aug.reshape(G, PT, K_aug, 1, Dp))
 
+    rad, tau = outs[0], outs[1]
+    # un-group, un-pad, un-sort, un-lane-pad
+    inv = jnp.zeros((R,), jnp.int32).at[order].set(
+        jnp.arange(R, dtype=jnp.int32))
     D = pt.d_true
-    return rad[:, 0, :D], tau[:, 0, :D]
+    rad = rad.reshape(Rp, Dp)[inv, :D]
+    tau = tau.reshape(Rp, Dp)[inv, :D]
+    if return_s_end:
+        s_end = (outs[2].reshape(Rp, Dp)[::RG, 0] if early_exit
+                 else jnp.full((NG,), S, jnp.int32))
+        return rad, tau, s_end
+    return rad, tau

@@ -90,7 +90,7 @@ def _pallas_in_specs(pt: PallasTables):
 
 def make_sharded_pallas_fn(mesh: Mesh, pt: PallasTables, flags,
                            ig_co2: int, ig_h2o: int, bbt: bool,
-                           interpret: bool):
+                           interpret: bool, early_exit=None):
     """jit(shard_map(...)) of the fused-Pallas RT step over the
     ("rays", "chan") mesh: every shard runs the SAME kernel the
     single-chip driver runs (rt_pallas_core) on its ray/channel block.
@@ -100,7 +100,8 @@ def make_sharded_pallas_fn(mesh: Mesh, pt: PallasTables, flags,
     out_specs = RtOut(rad=P(RAY_AXIS, CHAN_AXIS),
                       tau=P(RAY_AXIS, CHAN_AXIS))
     body = partial(rt_pallas_core, flags=flags, ig_co2=ig_co2,
-                   ig_h2o=ig_h2o, bbt=bbt, interpret=interpret)
+                   ig_h2o=ig_h2o, bbt=bbt, interpret=interpret,
+                   early_exit=early_exit)
     try:
         fn = jax.shard_map(body, mesh=mesh,
                            in_specs=_pallas_in_specs(pt),
@@ -171,6 +172,10 @@ class ShardedForwardModel(ForwardModel):
                 f"ND={ctl.nd} not divisible by chan mesh axis {n_chan}")
         super().__init__(ctl, tables, directory, dtype,
                          fast_tables=fast_tables, pallas_n_chan=n_chan)
+        if self.exec_device is not None:
+            raise ValueError(
+                "USETPU = 0 (never) contradicts running on an "
+                "accelerator mesh; drop the mesh or set USETPU = -1/1")
         self.mesh = mesh
         self.n_ray_shards = mesh.shape[RAY_AXIS]
         self.ray_multiple = self.n_ray_shards
@@ -178,7 +183,8 @@ class ShardedForwardModel(ForwardModel):
         if self.kernel_mode == "pallas":
             self._pallas_sharded = make_sharded_pallas_fn(
                 mesh, self.pallas_tbl, self.flags, self.ig_co2,
-                self.ig_h2o, bool(ctl.write_bbt), self.pallas_interpret)
+                self.ig_h2o, bool(ctl.write_bbt), self.pallas_interpret,
+                early_exit=True if ctl.early_exit else None)
 
     def trace(self, atm: Atm, obs: Obs, hydro: bool = True) -> LosData:
         """Rays-sharded tracing: profiles and observer geometry are placed

@@ -101,3 +101,30 @@ def test_rfm_spectrum_roundtrip(tmp_path):
     # z just below a stored level resolves to the next millimeter up
     val2 = read_obs_rfm(str(tmp_path / "rfm"), 9.999, fgrid, fvals)
     assert val2 == val
+
+
+def test_atm_rfm_roundtrip(tmp_path, ref_example):
+    """write_atm_rfm (jurassic.c:1280-1297): the RFM driver-format
+    atmosphere writer; block layout checked textually and through the
+    companion reader round trip (q in ppmv, altitudes/pressures/
+    temperatures verbatim)."""
+    from jurassic_tpu.io_tab import read_atm_rfm, write_atm_rfm
+    ctl = read_ctl(["prog", str(ref_example / "limb/limb.ctl")],
+                   verbose=False)
+    atm = read_atm(ref_example / "limb/atm.tab", ctl)
+    f = tmp_path / "atm.rfm"
+    write_atm_rfm(f, ctl, atm)
+    lines = f.read_text().splitlines()
+    assert lines[0] == str(atm.npts)
+    assert lines[1] == "*HGT [km]"
+    assert lines[-1] == "*END"
+    tags = [ln for ln in lines if ln.startswith("*")]
+    assert tags == (["*HGT [km]", "*PRE [mb]", "*TEM [K]"]
+                    + [f"*{g} [ppmv]" for g in ctl.emitter[:ctl.ng]]
+                    + ["*END"])
+    atm2 = read_atm_rfm(f, ctl)
+    assert atm2.npts == atm.npts
+    np.testing.assert_allclose(atm2.z, atm.z, rtol=1e-6)
+    np.testing.assert_allclose(atm2.p, atm.p, rtol=1e-6)
+    np.testing.assert_allclose(atm2.t, atm.t, rtol=1e-6)
+    np.testing.assert_allclose(atm2.q, atm.q, rtol=1e-6, atol=1e-30)

@@ -202,9 +202,16 @@ def test_pallas_early_exit_bitwise():
     los = m.trace(atm, obs)
     args = (m.pallas_tbl, m.cc_rows, los, m.flags, m.ig_co2, m.ig_h2o)
     rad0, tau0 = rt_fused_pallas(*args, interpret=True, early_exit=False)
-    rad1, tau1 = rt_fused_pallas(*args, interpret=True, early_exit=True)
+    rad1, tau1, s_end = rt_fused_pallas(*args, interpret=True,
+                                        early_exit=True, return_s_end=True)
     np.testing.assert_array_equal(np.asarray(rad0), np.asarray(rad1))
     np.testing.assert_array_equal(np.asarray(tau0), np.asarray(tau1))
+    # the exit must actually fire (ADVICE r3: with dead Dp-padding
+    # lanes unmasked it never did, leaving the semaphore-drain path
+    # unexercised); nd=5 pads to 128 lanes, so this asserts the
+    # dead-lane masking too
+    nb = np.asarray(los.np_).max()
+    assert np.asarray(s_end).min() < nb
 
 
 def test_pallas_declared_but_unreferenced_windows():

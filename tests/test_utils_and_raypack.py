@@ -59,6 +59,48 @@ def test_formod_selector_guard():
     ForwardModel(ctl, fast_tables=ft)
 
 
+def test_usetpu_dispatch(monkeypatch):
+    """USETPU/USEGPU -1/0/1 execution-path dispatch (the reference's
+    useGPU "if possible / never / required", CPUdrivers.c:179-193):
+    0 pins the jnp pipeline on the host CPU backend, 1 demands an
+    accelerator backend, -1 auto-selects."""
+    import jax
+    ctl = synthetic_ctl(ng=2, nd=4)
+    ft = synthetic_fast_tables(ctl, n_p=6, n_t=4, n_k=32)
+    atm = synthetic_atm(ctl)
+    obs = limb_workload(ctl, 3)
+
+    # pretend an accelerator backend is active (the CPU suite runs the
+    # accelerator branch in interpret mode, like the auto-fallback test)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    ctl.usetpu = -1
+    assert ForwardModel(ctl, fast_tables=ft).kernel_mode == "pallas"
+    ctl.usetpu = 1
+    assert ForwardModel(ctl, fast_tables=ft).kernel_mode == "pallas"
+    ctl.usetpu = 0
+    m0 = ForwardModel(ctl, fast_tables=ft)
+    assert m0.kernel_mode == "jax"           # never the accelerator path
+    assert m0.exec_device is not None        # pinned to host CPU
+    assert m0.exec_device.platform == "cpu"
+    m0.formod(atm, obs.copy())               # runs end to end when pinned
+    # an explicit accelerator kernel still runs (interpret mode on the
+    # pinned CPU devices), only auto re-resolves to the jnp pipeline
+    ctl.kernel = "pallas"
+    mp = ForwardModel(ctl, fast_tables=ft)
+    assert mp.kernel_mode == "pallas" and mp.pallas_interpret
+    ctl.kernel = "auto"
+
+    # a genuinely CPU-only backend must refuse USETPU = 1
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    ctl.usetpu = 1
+    with pytest.raises(ValueError, match="USETPU = 1"):
+        ForwardModel(ctl, fast_tables=ft)
+    ctl.usetpu = 0
+    assert ForwardModel(ctl, fast_tables=ft).exec_device is None
+    ctl.usetpu = -1
+
+
 def test_raypack_bitwise_identical():
     """Packaged execution pads the last package by repeating the final
     ray, so every package shares one compiled shape and the results are
