@@ -178,7 +178,8 @@ def rt_integrate(tbl, sr, st, nu, cc: ContinuaCoeffs, window, los: LosData,
 
 def rt_pallas_core(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
                    flags, ig_co2, ig_h2o, bbt,
-                   interpret=False, early_exit=None) -> RtOut:
+                   interpret=False, early_exit=None,
+                   variant="group") -> RtOut:
     """Unjitted fused-Pallas RT step: the kernel plus the surface
     emission (add_surface_core, jr_common.h:228-234) and brightness
     conversion epilogues, which stay outside the kernel as cheap [R, D]
@@ -186,8 +187,10 @@ def rt_pallas_core(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
     (GPUdrivers.cu:234-240).  Also the per-shard body of the
     shard-mapped multi-chip driver (parallel/sharded.py)."""
     from .ops.pallas import rt_fused_pallas
-    rad, tau = rt_fused_pallas(pt, cc_rows, los, flags, ig_co2, ig_h2o,
-                               interpret=interpret, early_exit=early_exit)
+    out = rt_fused_pallas(pt, cc_rows, los, flags, ig_co2, ig_h2o,
+                          interpret=interpret, early_exit=early_exit,
+                          variant=variant)
+    rad, tau = out[0], out[1]
     sr_ = sr.astype(jnp.float32)
     st_ = st.astype(jnp.float32)
     ts = tsurf.astype(jnp.float32)
@@ -195,19 +198,25 @@ def rt_pallas_core(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
     rad = jnp.where((ts > 0.0)[:, None], rad + src_surf * tau, rad)
     if bbt:
         rad = brightness_jnp(rad, nu.astype(jnp.float32))
-    return RtOut(rad=rad, tau=tau)
+    res = RtOut(rad=rad, tau=tau)
+    if variant == "pool!":
+        # in-graph capacity flag, shaped [1, 1] so the shard-mapped
+        # driver can give every mesh shard its own block
+        return res, out[2].reshape(1, 1)
+    return res
 
 
 @partial(jax.jit, static_argnames=("flags", "ig_co2", "ig_h2o", "bbt",
-                                   "interpret", "early_exit"))
+                                   "interpret", "early_exit", "variant"))
 def rt_integrate_pallas(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
                         flags, ig_co2, ig_h2o, bbt,
-                        interpret=False, early_exit=None) -> RtOut:
+                        interpret=False, early_exit=None,
+                        variant="group") -> RtOut:
     """RT integration through the fused Pallas kernel
     (ops/pallas/ega_fused.py): same contract as :func:`rt_integrate`."""
     return rt_pallas_core(pt, cc_rows, sr, st, nu, los, tsurf,
                           flags, ig_co2, ig_h2o, bbt, interpret,
-                          early_exit)
+                          early_exit, variant)
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +323,8 @@ class ForwardModel:
         self.kernel_mode = "exact" if not self.use_fast else "jax"
         self.pallas_tbl = None
         self.turbo_stats = None
+        self._variant_cache: dict = {}   # los identity -> kernel variant
+        self.last_variant = None         # variant of the last dispatch
         # USETPU dispatch (the reference's useGPU -1/0/1 = "if possible
         # / never / required", CPUdrivers.c:179-193, with USEGPU as the
         # drop-in ctl alias): 0 pins execution to the host CPU backend
@@ -511,6 +522,52 @@ class ForwardModel:
                 if self.exec_device is not None
                 else contextlib.nullcontext())
 
+    def _resolve_variant(self, los: LosData) -> str:
+        """Kernel-variant policy for one traced batch: OPTIMISTICALLY
+        dispatch the slot-pool kernel ("pool!": pool + an in-graph
+        capacity-ok flag) and fall back to the per-segment-DMA group
+        kernel only if a pool or combo capacity overflowed -- physical
+        atmospheres never overflow (measured max 76 distinct pairs of
+        the 96-slot pool), so the check costs nothing: the flag rides
+        the output pull the driver does anyway, with no separate plan
+        pass or host sync.  The choice is cached per los identity (the
+        bench and RAYPACK package loop re-integrate the same batch).
+
+        ``JURASSIC_PALLAS_VARIANT=group|pool`` forces either (A/B
+        knob; "pool" skips the capacity check)."""
+        import os
+        pt = self.pallas_tbl
+        if pt is None or pt.mode != "turbo":
+            return "group"
+        env = os.environ.get("JURASSIC_PALLAS_VARIANT")
+        if env in ("group", "pool"):
+            return env
+        if len(self._variant_cache) > 16:
+            self._variant_cache.clear()
+        return self._variant_cache.get(id(los.ds), "pool!")
+
+    def _integrate_pallas(self, fn, los: LosData) -> RtOut:
+        """Variant-resolved Pallas dispatch: ``fn(variant)`` runs the
+        jitted kernel; handles the optimistic pool -> group fallback
+        and records ``self.last_variant`` for observability."""
+        var = self._resolve_variant(los)
+        if var in ("pool!", "pool_ok"):
+            # both run the SAME compiled "pool!" executable -- the flag
+            # output is free; "pool_ok" just skips the one-time host
+            # check (a re-dispatch under a different variant string
+            # would trigger a second compile)
+            out, okf = fn("pool!")
+            self.last_variant = "pool"
+            if var == "pool_ok":
+                return out
+            if bool(self._to_host(okf).all()):
+                self._variant_cache[id(los.ds)] = "pool_ok"
+                return out
+            self._variant_cache[id(los.ds)] = "group"
+            var = "group"
+        self.last_variant = "pool" if var == "pool" else "group"
+        return fn(var)
+
     def integrate(self, los: LosData) -> RtOut:
         """RT integration with the resolved kernel: the fused Pallas
         kernel when selected (jr_fusion_kernel.mv4g.cu analogue), else
@@ -519,11 +576,13 @@ class ForwardModel:
             # EARLY_EXIT ctl flag (0 leaves the env-var debug override
             # in charge, which defaults to off)
             ee = True if self.ctl.early_exit else None
-            return rt_integrate_pallas(
-                self.pallas_tbl, self.cc_rows, self.sr, self.st, self.nu,
-                los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,
-                bool(self.ctl.write_bbt), self.pallas_interpret,
-                early_exit=ee)
+            return self._integrate_pallas(
+                lambda var: rt_integrate_pallas(
+                    self.pallas_tbl, self.cc_rows, self.sr, self.st,
+                    self.nu, los, los.tsurf, self.flags, self.ig_co2,
+                    self.ig_h2o, bool(self.ctl.write_bbt),
+                    self.pallas_interpret, early_exit=ee, variant=var),
+                los)
         return rt_integrate(
             self.dev_tbl, self.sr, self.st, self.nu, self.cc, self.window,
             los, los.tsurf, self.flags, self.ig_co2, self.ig_h2o,

@@ -68,6 +68,11 @@ N_CC = 12           # packed continuum coefficient rows
 RG_MAX = 8          # rays per group = f32 vreg sublane count
 NBUF = 2            # slab double buffering
 SLAB_BUDGET = 8 << 20   # VMEM budget for the corner slabs [bytes]
+POOL_NPAIR = 96     # slot-pool capacity: distinct corner pairs per
+                    # (group, gas) over the whole LOS (physical limb
+                    # scans measure ~40, max ~76 at RG=8)
+POOL_MAXC = 4       # distinct cell combos per (segment, gas) the pool
+                    # kernel evaluates (measured max 3 at RG=8)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -361,26 +366,153 @@ def _group_schedule(idx, rg: int):
     return jnp.moveaxis(packed, 1, -1)                  # [NG, S, G, 2, rg]
 
 
-def dma_schedule_stats(pt: "PallasTables", los):
-    """(RG, HBM pair fetches, VMEM neighbour copies) for the schedule
-    :func:`rt_fused_pallas` will run on this workload -- the roofline
-    bytes-moved model.  Replicates the driver's tangent sort, group
-    padding and beyond-np freezing exactly."""
-    G, PT, K_aug, Dp = pt.eps_aug.shape
+def _pool_schedule(idx, rg: int, npair: int, maxc: int):
+    """Slot-pool schedule: fetch each DISTINCT corner pair of a ray
+    group's whole LOS exactly once.
+
+    A limb LOS is U-shaped (descends to the tangent point, then
+    ascends through the same (p, T) cells), so the consecutive-change
+    schedule of :func:`_group_schedule` re-fetches every cell at least
+    twice per ray, and its per-ray sublane-strided slab DMAs plus the
+    neighbour-copy chains dominate the kernel's runtime at small nd.
+    On physical atmospheres a tangent-sorted group traverses only ~40
+    distinct pairs per gas over the WHOLE LOS (vs ~80 consecutive-run
+    fetches), and at any one segment its rays bracket at most 3-4
+    distinct (pair0, pair1) cell combos -- so the kernel can hold every
+    pair in a VMEM pool fetched once per group (contiguous DMAs, no
+    per-segment scheduling at all) and evaluate each segment per
+    DISTINCT combo with pool rows broadcast across the ray sublanes.
+
+    Returns
+
+      pool_ipt [NG, G, npair] int32 -- HBM pair start rows to fetch
+               (-1 = unused slot);
+      combo    [NG, S, G, maxc] int32 -- packed ``s0 << 15 | s1 << 8 |
+               raymask`` per distinct combo (0 = unused entry), where
+               s0/s1 index the pool and raymask bit r selects group
+               ray r (rg <= 8 keeps the mask inside one byte);
+      ok       bool -- False iff any pool or combo capacity overflowed
+               (caller must then use the "group" variant; the packed
+               streams are garbage in that case).
+
+    idx: [R, S, G, 2] int32, R a multiple of rg, frozen beyond np.
+    """
+    R, S, G, _ = idx.shape
+    NG = R // rg
+    vals = (idx.reshape(NG, rg, S, G, 2)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(NG, G, rg * S * 2))
+
+    # --- distinct-pair pool, scatter-free ----------------------------
+    # (jnp.unique's inverse path costs ~0.3 s/call on a v5e at the
+    # flagship shape -- 10x the kernel it schedules; everything here is
+    # elementwise + one sort + fused masked reductions instead)
+    sv = jnp.sort(vals, axis=-1)                       # [NG, G, V]
+    newf = jnp.concatenate(
+        [jnp.ones_like(sv[..., :1], jnp.bool_),
+         sv[..., 1:] != sv[..., :-1]], axis=-1)
+    ndist = jnp.sum(newf, axis=-1)                     # [NG, G]
+    ok = jnp.all(ndist <= npair)
+    pos = jnp.cumsum(newf, axis=-1) - 1                # slot of sv value
+    # pool_ipt[j] = the first-occurrence value at slot j (masked max
+    # over the sorted stream; XLA fuses the [.., V, npair] mask into
+    # the reduction, nothing is materialised)
+    sel = newf & (pos < npair)
+    oh = sel[..., None] & (pos[..., None] == jnp.arange(npair))
+    pool_ipt = jnp.max(
+        jnp.where(oh, sv[..., None], -1), axis=-2)     # [NG, G, npair]
+    # inverse (slot per stream value): #distinct pool values <= val - 1
+    le = (pool_ipt[:, :, None, :] >= 0) \
+        & (pool_ipt[:, :, None, :] <= vals[..., None])
+    inv = jnp.sum(le, axis=-1, dtype=jnp.int32) - 1    # [NG, G, V]
+    inv = jnp.clip(inv, 0, npair - 1)
+
+    # --- distinct (pair0, pair1) combos per (group, segment, gas) ----
+    # pairwise first-occurrence logic on the rg axis: no sorts at all
+    slots = inv.reshape(NG, G, rg, S, 2)
+    key = (slots[..., 0] * npair + slots[..., 1]) \
+        .transpose(0, 3, 1, 2)                         # [NG, S, G, rg]
+    eq = key[..., :, None] == key[..., None, :]        # [.., rg, rg]
+    iota_r = jnp.arange(rg, dtype=jnp.int32)
+    firstpos = jnp.min(jnp.where(eq, iota_r, rg), axis=-1)  # [.., rg]
+    first = firstpos == iota_r
+    ncomb = jnp.sum(first, axis=-1)
+    ok = ok & jnp.all(ncomb <= maxc)
+    # combo id per ray = #distinct keys first-seen before this ray's
+    cid = jnp.sum((firstpos[..., None, :] < firstpos[..., :, None])
+                  & first[..., None, :], axis=-1)      # [.., rg]
+    onehot = cid[..., None] == jnp.arange(maxc)        # [.., rg, maxc]
+    ck = jnp.max(jnp.where(onehot & first[..., None], key[..., None],
+                           -1), axis=-2)               # [.., maxc]
+    mask = jnp.sum(jnp.where(onehot, 1 << iota_r[..., None], 0),
+                   axis=-2)
+    s0 = jnp.maximum(ck, 0) // npair
+    s1 = jnp.maximum(ck, 0) % npair
+    combo = jnp.where(ck >= 0, (s0 << 15) | (s1 << 8) | mask, 0)
+    return (pool_ipt.astype(jnp.int32), combo.astype(jnp.int32), ok)
+
+
+def _sorted_frozen_idx(pt: "PallasTables", los, rg: int):
+    """The shared schedule prologue: tangent-sort the rays, pad the ray
+    axis to the group multiple with the last ray, bracket every
+    (ray, segment, gas) corner pair and freeze the streams beyond each
+    ray's active LOS bound.  Returns (sorted/padded los, idx [Rp, S, G,
+    2], sort order [R])."""
     R, S = los.ds.shape
-    RG = resolve_rg(G, K_aug, Dp)
     order = jnp.argsort(los.tpz)
-    Rp = _round_up(R, RG)
+    Rp = _round_up(R, rg)
     perm = jnp.concatenate(
         [order, jnp.broadcast_to(order[-1:], (Rp - R,))]) if Rp > R \
         else order
-    p, t, np_ = los.p[perm], los.t[perm], los.np_[perm]
+    los = jax.tree_util.tree_map(lambda a: a[perm], los)
     idx = _freeze_beyond_np(
-        _corner_indices(jnp.asarray(pt.p_ax, p.dtype),
-                        jnp.asarray(pt.t_ax, p.dtype),
+        _corner_indices(jnp.asarray(pt.p_ax, los.p.dtype),
+                        jnp.asarray(pt.t_ax, los.p.dtype),
                         jnp.asarray(pt.np_u), jnp.asarray(pt.nt_u),
-                        p, t),
-        np_)
+                        los.p, los.t), los.np_)
+    return los, idx, order
+
+
+def pool_plan(pt: "PallasTables", los, rg: int | None = None):
+    """(max distinct pairs per (group, gas), max cell combos per
+    (segment, gas)) for this workload -- jit-friendly traced scalars.
+    The driver compares them against POOL_NPAIR/POOL_MAXC to pick the
+    kernel variant statically (plan once per traced batch, then
+    dispatch; the reference sizes its GPU launch from the workload the
+    same way, GPUdrivers.cu:296-321)."""
+    G, PT, K_aug, Dp = pt.eps_aug.shape
+    R, S = los.ds.shape
+    rg = rg or resolve_rg(G, K_aug, Dp)
+    _, idx, _ = _sorted_frozen_idx(pt, los, rg)
+    Rp = idx.shape[0]
+    NG = Rp // rg
+    vals = (idx.reshape(NG, rg, S, G, 2).transpose(0, 3, 1, 2, 4)
+            .reshape(NG, G, rg * S * 2))
+    sv = jnp.sort(vals, axis=-1)
+    ndist = jnp.max(jnp.sum(jnp.concatenate(
+        [jnp.ones_like(sv[..., :1]),
+         (sv[..., 1:] != sv[..., :-1]).astype(sv.dtype)], -1), axis=-1))
+    gi = idx.reshape(NG, rg, S, G, 2)
+    key = (gi[..., 0] * 8192 + gi[..., 1])             # [NG, rg, S, G]
+    ksort = jnp.sort(key, axis=1)
+    ncomb = jnp.max(jnp.sum(jnp.concatenate(
+        [jnp.ones_like(ksort[:, :1]),
+         (ksort[:, 1:] != ksort[:, :-1]).astype(key.dtype)], 1), axis=1))
+    return ndist, ncomb
+
+
+def dma_schedule_stats(pt: "PallasTables", los, variant: str = "group"):
+    """(RG, HBM pair fetches, VMEM neighbour copies) for the schedule
+    :func:`rt_fused_pallas` will run on this workload under the given
+    variant -- the roofline bytes-moved model.  Replicates the driver's
+    tangent sort, group padding and beyond-np freezing exactly."""
+    G, PT, K_aug, Dp = pt.eps_aug.shape
+    RG = resolve_rg(G, K_aug, Dp)
+    _, idx, _ = _sorted_frozen_idx(pt, los, RG)
+    if variant == "pool":
+        pool_ipt, _combo, _ok = _pool_schedule(
+            idx, RG, min(POOL_NPAIR, PT), min(POOL_MAXC, RG))
+        return RG, int(jnp.sum(pool_ipt >= 0)), 0
     packed = _group_schedule(idx, RG)
     return (RG, int(jnp.sum(packed & 1)),
             int(jnp.sum((packed >> 1) & 1)))
@@ -424,6 +556,141 @@ def _c01(x):
     return jnp.clip(x, 0.0, 1.0)
 
 
+def _continua_bds(p_s, t_s, ds_s, q_h2o, u_co2, u_h2o, kw, cc_ref, flags):
+    """Continuum optical depth of one segment (continua_core,
+    jr_common.h:397-409): gray extinction ``kw`` plus the four enabled
+    continua, on whatever (rays, lanes) shape the caller works in.
+    Shared by the kernel variants (the physics must stay bitwise
+    identical between them)."""
+    f_co2, f_h2o, f_n2, f_o2 = flags
+    bds = kw * ds_s
+    if f_co2:
+        dt230, dt260, dt296 = t_s - 230.0, t_s - 260.0, t_s - 296.0
+        ctw = (dt260 * 5.050505e-4 * dt296 * cc_ref[2]
+               - dt230 * 9.259259e-4 * dt296 * cc_ref[1]
+               + dt230 * 4.208754e-4 * dt260 * cc_ref[0])
+        bds = bds + u_co2 * p_s * ctw / np.float32(NA * 1000.0 * P0)
+    if f_h2o:
+        cw296, cw260 = cc_ref[3], cc_ref[4]
+        base = jnp.where(cw296 > 0, cw260
+                         / jnp.where(cw296 > 0, cw296, 1.0), 1.0)
+        ctwslf = cc_ref[6] * cw296 * jnp.power(
+            base, (296.0 - t_s) / 36.0)
+        a1 = cc_ref[7] * u_h2o * jnp.tanh(0.7193876 / t_s * cc_ref[7])
+        a3 = p_s / np.float32(P0) * (q_h2o * ctwslf
+                                     + (1 - q_h2o) * cc_ref[5]) \
+            * np.float32(1e-20)
+        bds = bds + a1 * (296.0 / t_s) * a3
+    if f_n2 or f_o2:
+        pp2 = (p_s / np.float32(P0)) ** 2 * (273.0 / t_s) ** 2
+        tfac = 1.0 / 296.0 - 1.0 / t_s
+        if f_n2:
+            mix = 0.79 + 0.21 * (1.294 - 0.4545 * t_s / 296.0)
+            bds = bds + ds_s * (0.1 * pp2 * jnp.exp(cc_ref[9] * tfac)
+                                * 0.79 * cc_ref[8] * mix)
+        if f_o2:
+            bds = bds + ds_s * (0.1 * pp2 * jnp.exp(cc_ref[11] * tfac)
+                                * 0.21 * cc_ref[10])
+    return bds
+
+
+def _eta_of(target):
+    """Curve-of-growth transform of the inversion target -- shared by
+    all 4 corners of a gas, so computed once per (gas, segment).
+    (Mosaic lowers no log1p/expm1; the plain log forms lose precision
+    only for eps < ~1e-6, where the EGA factor is 1 to float32 accuracy
+    anyway -- and targets below e0 take the linear-extrapolation
+    branch.)"""
+    t_c = jnp.clip(target, 1e-12, 1.0 - 1e-7)
+    return jnp.log(jnp.maximum(
+        -jnp.log(jnp.maximum(1.0 - t_c, 1e-37)), 1e-37))
+
+
+def _turbo_corner(get_row, J_f, J_i, target, eta_t, u_seg):
+    """One (p,T) corner in turbo mode: eps->u inversion + eps(u+u_seg)
+    re-lookup through the eta-space Chebyshev pair (turbo_fit.py), with
+    the exact path's out-of-range linear extensions and guards
+    replicated.  ``get_row(off)`` reads augmented row ``off`` of the
+    corner in whatever layout the kernel variant stores it (per-ray
+    slab or broadcast pool slot); turbo_fit.py documents the layout:
+    rows [0, J_f) forward coefs, [J_f, J_f+J_i) inverse coefs, then the
+    aux rows."""
+    R6 = np.float32(LOG2_RATIO_U)
+    RATIO = np.float32(2.0 ** LOG2_RATIO_U)
+    AUX = J_f + J_i
+
+    def cheb(off, J, x):
+        """Clenshaw evaluation of rows [off, off+J) -- O(J) FMAs."""
+        x2 = 2.0 * x
+        b1 = jnp.zeros_like(x)
+        b2 = jnp.zeros_like(x)
+        for j in range(J - 1, 0, -1):
+            b1, b2 = x2 * b1 - b2 + get_row(off + j), b1
+        return x * b1 - b2 + get_row(off)
+
+    l2u0 = get_row(AUX + 0)
+    k_hi = get_row(AUX + 1)
+    e0 = get_row(AUX + 2)
+    e1 = get_row(AUX + 3)
+    e2nd = get_row(AUX + 4)
+    emax = get_row(AUX + 5)
+    ends = get_row(AUX + 6)
+    eta0 = get_row(AUX + 7)
+    etah = get_row(AUX + 8)
+    u0 = get_row(AUX + 12)
+    u_n1 = get_row(AUX + 13)
+    u1 = u0 * RATIO
+    u_n2 = u_n1 * np.float32(2.0 ** -LOG2_RATIO_U)
+    # inversion: precomputed eta(target) -> normalized xi -> k
+    dh = etah - eta0
+    dh = jnp.where(jnp.abs(dh) > 1e-30, dh, 1.0)
+    xi = jnp.clip((2.0 * eta_t - (eta0 + etah)) / dh, -1.0, 1.0)
+    k_c = jnp.clip(cheb(J_f, J_i, xi), 0.0, k_hi)
+    u_c = jnp.exp2(l2u0 + k_c * R6)
+    # below-range: linear extrapolation through the first u-interval
+    # (get_u with idx clamped to 0)
+    d01 = e1 - e0
+    d01g = jnp.where(d01 == 0, 1.0, d01)
+    u_c = jnp.where(target < e0,
+                    u0 + (target - e0) * (u1 - u0) / d01g, u_c)
+    # beyond-range, row truly ends: through the last active interval;
+    # saturated rows pin u at the plateau start
+    d2 = emax - e2nd
+    d2g = jnp.where(d2 == 0, 1.0, d2)
+    hi_u = u_n2 + (target - e2nd) * (u_n1 - u_n2) / d2g
+    u_c = jnp.where((target > emax) & (ends > 0), hi_u, u_c)
+    # forward: eps(u_c + u_seg) through the forward expansion
+    u_new = u_c + u_seg
+    k_new = (jnp.log2(jnp.maximum(u_new, 1e-37)) - l2u0) / R6
+    k_cl = jnp.clip(k_new, 0.0, k_hi)
+    y = jnp.clip(2.0 * k_cl / jnp.maximum(k_hi, 1.0) - 1.0, -1.0, 1.0)
+    eps = 1.0 - jnp.exp(-jnp.exp(cheb(0, J_f, y)))
+    # linear extensions outside the active range (get_eps with the
+    # clamped end intervals; saturated rows extend flat)
+    eps = jnp.where(
+        k_new < 0.0, e0 + (u_new - u0) * d01 / (u1 - u0), eps)
+    hi_e = emax + (u_new - u_n1) * d2 / (u_n1 - u_n2) * ends
+    eps = jnp.where(k_new > k_hi, hi_e, eps)
+    # flat rows: the exact path's guarded lip freezes the value
+    eps = jnp.where(jnp.abs(emax - e0) > 1e-10, eps, e0)
+    return _c01(eps)
+
+
+def _source_rows(tsm_ref, sr_ref, s, RG: int, n_src: int):
+    """Per-ray source radiance rows [RG, Dp]: the table index
+    (int)(4 T) - 400 (locate_st, jr_common.h:83-84) differs per ray, so
+    each ray's row pair comes from its SMEM temperature scalar (a [Dp]
+    dynamic row slice per ray, stacked on the sublane axis)."""
+    rows = []
+    for r in range(RG):
+        t_r = tsm_ref[0, 0, s * RG + r]
+        it = jnp.clip((4.0 * t_r).astype(jnp.int32) - 400, 0, n_src - 2)
+        st0 = 100.0 + 0.25 * it.astype(jnp.float32)
+        sr0 = sr_ref[it]
+        rows.append(sr0 + (t_r - st0) * (sr_ref[it + 1] - sr0) * 4.0)
+    return jnp.stack(rows, axis=0)
+
+
 def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                  RG: int, flags, ig_co2: int, ig_h2o: int, n_src: int,
                  early_exit: bool = False, mode: str = "table",
@@ -447,7 +714,6 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
     Lanes with no gas table at all (all-gas chan_mask == 0, including
     the Dp padding lanes) keep factor = 1 forever and are masked as
     already-frozen so they cannot pin the loop open."""
-    f_co2, f_h2o, f_n2, f_o2 = flags
     R6 = np.float32(LOG2_RATIO_U)
     RATIO = np.float32(2.0 ** LOG2_RATIO_U)
 
@@ -546,81 +812,6 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             hi = jnp.min(jnp.where(m, BIG, row), axis=0)
             return lo, hi
 
-        def cheb(b, g, c, off, J, x):
-            """Clenshaw evaluation of the Chebyshev expansion stored in
-            slab rows [off, off+J) -- O(J) FMAs on [RG, Dp] vregs
-            instead of the table path's O(K) full-row passes."""
-            x2 = 2.0 * x
-            b1 = jnp.zeros((RG, Dp), jnp.float32)
-            b2 = jnp.zeros((RG, Dp), jnp.float32)
-            for j in range(J - 1, 0, -1):
-                b1, b2 = x2 * b1 - b2 + slab[b, g, c, off + j, :, :], b1
-            return x * b1 - b2 + slab[b, g, c, off, :, :]
-
-        def eta_of(target):
-            """Curve-of-growth transform of the inversion target --
-            shared by all 4 corners of a gas, so computed once per
-            (gas, segment).  (Mosaic lowers no log1p/expm1; the plain
-            log forms lose precision only for eps < ~1e-6, where the
-            EGA factor is 1 to float32 accuracy anyway -- and targets
-            below e0 take the linear-extrapolation branch.)"""
-            t_c = jnp.clip(target, 1e-12, 1.0 - 1e-7)
-            return jnp.log(jnp.maximum(
-                -jnp.log(jnp.maximum(1.0 - t_c, 1e-37)), 1e-37))
-
-        def poly_lookup(b, g, c, target, eta_t, u_seg):
-            """One (p,T) corner in turbo mode: eps->u inversion +
-            eps(u + u_seg) re-lookup through the eta-space Chebyshev
-            pair (turbo_fit.py), with the exact path's out-of-range
-            linear extensions and guards replicated."""
-            l2u0 = slab[b, g, c, AUX + 0, :, :]
-            k_hi = slab[b, g, c, AUX + 1, :, :]
-            e0 = slab[b, g, c, AUX + 2, :, :]
-            e1 = slab[b, g, c, AUX + 3, :, :]
-            e2nd = slab[b, g, c, AUX + 4, :, :]
-            emax = slab[b, g, c, AUX + 5, :, :]
-            ends = slab[b, g, c, AUX + 6, :, :]
-            eta0 = slab[b, g, c, AUX + 7, :, :]
-            etah = slab[b, g, c, AUX + 8, :, :]
-            u0 = slab[b, g, c, AUX + 12, :, :]
-            u_n1 = slab[b, g, c, AUX + 13, :, :]
-            u1 = u0 * RATIO
-            u_n2 = u_n1 * np.float32(2.0 ** -LOG2_RATIO_U)
-            # inversion: precomputed eta(target) -> normalized xi -> k
-            dh = etah - eta0
-            dh = jnp.where(jnp.abs(dh) > 1e-30, dh, 1.0)
-            xi = jnp.clip((2.0 * eta_t - (eta0 + etah)) / dh, -1.0, 1.0)
-            k_c = jnp.clip(cheb(b, g, c, J_f, J_i, xi), 0.0, k_hi)
-            u_c = jnp.exp2(l2u0 + k_c * R6)
-            # below-range: linear extrapolation through the first
-            # u-interval (get_u with idx clamped to 0)
-            d01 = e1 - e0
-            d01g = jnp.where(d01 == 0, 1.0, d01)
-            u_c = jnp.where(target < e0,
-                            u0 + (target - e0) * (u1 - u0) / d01g, u_c)
-            # beyond-range, row truly ends: through the last active
-            # interval; saturated rows pin u at the plateau start
-            d2 = emax - e2nd
-            d2g = jnp.where(d2 == 0, 1.0, d2)
-            hi_u = u_n2 + (target - e2nd) * (u_n1 - u_n2) / d2g
-            u_c = jnp.where((target > emax) & (ends > 0), hi_u, u_c)
-            # forward: eps(u_c + u_seg) through the forward expansion
-            u_new = u_c + u_seg
-            k_new = (jnp.log2(jnp.maximum(u_new, 1e-37)) - l2u0) / R6
-            k_cl = jnp.clip(k_new, 0.0, k_hi)
-            y = jnp.clip(2.0 * k_cl / jnp.maximum(k_hi, 1.0) - 1.0,
-                         -1.0, 1.0)
-            eps = 1.0 - jnp.exp(-jnp.exp(cheb(b, g, c, 0, J_f, y)))
-            # linear extensions outside the active range (get_eps with
-            # the clamped end intervals; saturated rows extend flat)
-            eps = jnp.where(
-                k_new < 0.0, e0 + (u_new - u0) * d01 / (u1 - u0), eps)
-            hi_e = emax + (u_new - u_n1) * d2 / (u_n1 - u_n2) * ends
-            eps = jnp.where(k_new > k_hi, hi_e, eps)
-            # flat rows: the exact path's guarded lip freezes the value
-            eps = jnp.where(jnp.abs(emax - e0) > 1e-10, eps, e0)
-            return _c01(eps)
-
         def row_lookup(row, l2u0, nk2, target, u_seg):
             """One (p,T) corner: eps->u inversion + eps(u + u_seg)
             re-lookup on the log-uniform grid (get_u/get_eps,
@@ -645,24 +836,6 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             u_lo = jnp.exp2(l2u0 + fk * R6)
             return _c01(_lipg(u_lo, e_lo, u_lo * RATIO, e_hi, u_new))
 
-        def source(s, t_s):
-            """Per-ray source radiance rows [RG, Dp]: the table index
-            (int)(4 T) - 400 (locate_st, jr_common.h:83-84) differs per
-            ray, so each ray's row pair comes from its SMEM temperature
-            scalar (a [Dp] dynamic row slice per ray, stacked on the
-            sublane axis)."""
-            del t_s
-            rows = []
-            for r in range(RG):
-                t_r = tsm_ref[0, 0, s * RG + r]
-                it = jnp.clip((4.0 * t_r).astype(jnp.int32) - 400,
-                              0, n_src - 2)
-                st0 = 100.0 + 0.25 * it.astype(jnp.float32)
-                sr0 = sr_ref[it]
-                rows.append(sr0 + (t_r - st0) * (sr_ref[it + 1] - sr0)
-                            * 4.0)
-            return jnp.stack(rows, axis=0)
-
         def body(s, carry):
             rad, tau, tau_path = carry
 
@@ -685,35 +858,8 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             kw = jnp.zeros((RG, Dp), jnp.float32)
             for w in range(W):
                 kw = kw + field(s, N_SEG + w) * cc_ref[N_CC + w]
-            bds = kw * ds_s
-            if f_co2:
-                dt230, dt260, dt296 = t_s - 230.0, t_s - 260.0, t_s - 296.0
-                ctw = (dt260 * 5.050505e-4 * dt296 * cc_ref[2]
-                       - dt230 * 9.259259e-4 * dt296 * cc_ref[1]
-                       + dt230 * 4.208754e-4 * dt260 * cc_ref[0])
-                bds = bds + u_co2 * p_s * ctw / np.float32(NA * 1000.0 * P0)
-            if f_h2o:
-                cw296, cw260 = cc_ref[3], cc_ref[4]
-                base = jnp.where(cw296 > 0, cw260
-                                 / jnp.where(cw296 > 0, cw296, 1.0), 1.0)
-                ctwslf = cc_ref[6] * cw296 * jnp.power(
-                    base, (296.0 - t_s) / 36.0)
-                a1 = cc_ref[7] * u_h2o * jnp.tanh(0.7193876 / t_s
-                                                  * cc_ref[7])
-                a3 = p_s / np.float32(P0) * (q_h2o * ctwslf
-                                             + (1 - q_h2o) * cc_ref[5]) \
-                    * np.float32(1e-20)
-                bds = bds + a1 * (296.0 / t_s) * a3
-            if f_n2 or f_o2:
-                pp2 = (p_s / np.float32(P0)) ** 2 * (273.0 / t_s) ** 2
-                tfac = 1.0 / 296.0 - 1.0 / t_s
-                if f_n2:
-                    mix = 0.79 + 0.21 * (1.294 - 0.4545 * t_s / 296.0)
-                    bds = bds + ds_s * (0.1 * pp2 * jnp.exp(cc_ref[9] * tfac)
-                                        * 0.79 * cc_ref[8] * mix)
-                if f_o2:
-                    bds = bds + ds_s * (0.1 * pp2 * jnp.exp(cc_ref[11] * tfac)
-                                        * 0.21 * cc_ref[10])
+            bds = _continua_bds(p_s, t_s, ds_s, q_h2o, u_co2, u_h2o,
+                                kw, cc_ref, flags)
 
             # --- EGA per gas (apply_ega_core, jr_common.h:271-290) ----
             tau_gas = jnp.ones((RG, Dp), jnp.float32)
@@ -726,12 +872,14 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
                 _, b1, _, _ = meta(s, g, 1, 0)
                 eps_c = []
                 okl = cm_ref[g]
-                eta_t = eta_of(target) if mode == "turbo" else None
+                eta_t = _eta_of(target) if mode == "turbo" else None
                 for c in range(4):
                     b = b0 if c < 2 else b1
                     if mode == "turbo":
-                        eps_c.append(
-                            poly_lookup(b, g, c, target, eta_t, u_seg))
+                        eps_c.append(_turbo_corner(
+                            lambda off, b=b, g=g, c=c:
+                                slab[b, g, c, off, :, :],
+                            J_f, J_i, target, eta_t, u_seg))
                     else:
                         row = slab[b, g, c, :K, :, :]
                         l2u0 = slab[b, g, c, K, :, :]
@@ -758,7 +906,7 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
             tau_path = jnp.stack(new_rows, axis=0)
 
             # --- source + integration (new_obs_core) ------------------
-            src = source(s, t_s)
+            src = _source_rows(tsm_ref, sr_ref, s, RG, n_src)
             eps_tot = 1.0 - tau_gas * jnp.exp(-bds)
             upd = valid_s & (tau_gas > 0.0)
             rad = jnp.where(upd, rad + src * eps_tot * tau, rad)
@@ -819,6 +967,217 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
     return kernel
 
 
+def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
+                      NPAIR: int, MAXC: int, flags, ig_co2: int,
+                      ig_h2o: int, n_src: int, early_exit: bool,
+                      deg_f: int, deg_i: int):
+    """Slot-pool kernel variant (turbo tables only; see
+    :func:`_pool_schedule` for the why).
+
+    Structure: a per-group PROLOGUE fetches every distinct corner pair
+    of the group's whole LOS into a VMEM pool -- one contiguous
+    [2, K_aug, Dp] DMA per pair, ~40 per (group, gas) -- and the LOS
+    loop then runs with NO DMAs at all: each (segment, gas) is
+    evaluated once per DISTINCT (pair0, pair1) cell combo (usually
+    exactly one), with the pool rows broadcast across all RG ray
+    sublanes and the per-combo results blended by the precomputed ray
+    bitmask.  This replaces the group kernel's per-ray sublane-strided
+    slab DMAs and neighbour-copy chains, whose issue overhead -- not
+    HBM bytes -- dominates its runtime at production nd (the kernel
+    moves ~17 GB through ~540k small DMAs per flagship call but only
+    achieves ~6% of chip HBM bandwidth).
+
+    Physics is shared with the group kernel (_continua_bds,
+    _turbo_corner, _source_rows), and the per-lane arithmetic is
+    bitwise identical: a combo's pool rows hold exactly the bits the
+    group kernel's per-ray slab copies held."""
+    F_SEG = N_SEG + W + G
+    J_f, J_i = deg_f + 1, deg_i + 1
+    AUX = J_f + J_i
+    ROW_T, ROW_P, ROW_VALID = AUX + 9, AUX + 10, AUX + 11
+
+    def kernel(np_ref, pool_ref, combo_ref, tsm_ref, seg_ref, cc_ref,
+               sr_ref, cm_ref, eps_hbm, *out_and_scratch):
+        if early_exit:
+            rad_ref, tau_ref, send_ref, pool, sem, acc = out_and_scratch
+        else:
+            rad_ref, tau_ref, pool, sem, acc = out_and_scratch
+        nb = np_ref[0, 0, 0]
+        for r in range(1, RG):
+            nb = jnp.maximum(nb, np_ref[0, 0, r])
+        nb = jnp.clip(nb, 1, S)
+
+        # --- prologue: fetch the whole pool (used slots only) ---------
+        def pcopy(g, j, ipt):
+            return pltpu.make_async_copy(
+                eps_hbm.at[g, pl.ds(ipt, 2)], pool.at[g, j],
+                sem.at[g, j])
+
+        if os.environ.get("JURASSIC_POOL_ABLATE", "") not in ("nopro", "nosched"):
+            for phase in (0, 1):
+                for g in range(G):
+                    for j in range(NPAIR):
+                        ipt = pool_ref[0, 0, g * NPAIR + j]
+
+                        @pl.when(ipt >= 0)
+                        def _(g=g, j=j, ipt=ipt, phase=phase):
+                            dma = pcopy(g, j, ipt)
+                            dma.start() if phase == 0 else dma.wait()
+
+        iota_ray = jax.lax.broadcasted_iota(jnp.int32, (RG, Dp), 0)
+
+        ABLATE = os.environ.get("JURASSIC_POOL_ABLATE", "")
+
+        def body(s, carry):
+            rad, tau, tau_path = carry
+            if ABLATE in ("pureloop", "nopro", "nosched"):
+                return rad + 1e-30, tau, tau_path
+            # ONE natural [RG, F] vreg load per segment (the stream is
+            # ray-minor, see the [NG, S, RG, F] packing in the driver);
+            # every field is then a static lane column [RG, 1].  (A
+            # ray-major [RG, S, F] stream needs a strided per-ray
+            # gather PER FIELD here, which costs more than the whole
+            # EGA physics: ~6 us/segment of pure extraction overhead
+            # measured on v5e.)
+            tile = seg_ref[0, pl.ds(s, 1), :, :].reshape(RG, F_SEG)
+
+            def field(f):
+                return tile[:, f:f + 1]                    # [RG, 1]
+
+            valid_s = field(0) > 0.0
+            p_s = field(1)
+            t_s = field(2)
+            ds_s = field(3)
+            q_h2o = field(4)
+            u_co2 = field(5)
+            u_h2o = field(6)
+
+            if ABLATE == "empty":
+                rad = rad + p_s * 1e-30
+                return rad, tau, tau_path
+
+            kw = jnp.zeros((RG, Dp), jnp.float32)
+            for w in range(W):
+                kw = kw + field(N_SEG + w) * cc_ref[N_CC + w]
+            bds = _continua_bds(p_s, t_s, ds_s, q_h2o, u_co2, u_h2o,
+                                kw, cc_ref, flags)
+
+            if ABLATE == "noega":
+                src = _source_rows(tsm_ref, sr_ref, s, RG, n_src)
+                eps_tot = 1.0 - jnp.exp(-bds)
+                upd = valid_s
+                rad = jnp.where(upd, rad + src * eps_tot * tau, rad)
+                tau = jnp.where(upd, tau * (1.0 - eps_tot), tau)
+                return rad, tau, tau_path
+
+            # --- EGA per gas, one evaluation per DISTINCT cell combo --
+            tau_gas = jnp.ones((RG, Dp), jnp.float32)
+            new_rows = []
+            for g in range(G):
+                tp = tau_path[g]
+                target = 1.0 - tp
+                u_seg = field(N_SEG + W + g)
+                eta_t = _eta_of(target)
+
+                def combo_eval(s0, s1, g=g, target=target, eta_t=eta_t,
+                               u_seg=u_seg, t_s=t_s, p_s=p_s):
+                    """(eps_t, okl) of the cell combo (pool slots s0,
+                    s1) for ALL RG rays (pool rows broadcast across
+                    sublanes)."""
+                    eps_c = []
+                    okl = cm_ref[g]
+                    for c in range(4):
+                        sj = s0 if c < 2 else s1
+                        c2 = c & 1
+                        eps_c.append(_turbo_corner(
+                            lambda off, sj=sj, c2=c2, g=g:
+                                pool[g, sj, c2, off, :],
+                            J_f, J_i, target, eta_t, u_seg))
+                        okl = okl * pool[g, sj, c2, ROW_VALID, :]
+                    # bilinear: t within each p row, then p
+                    # (jr_common.h:259-265)
+                    t00 = pool[g, s0, 0, ROW_T, :]
+                    t01 = pool[g, s0, 1, ROW_T, :]
+                    t10 = pool[g, s1, 0, ROW_T, :]
+                    t11 = pool[g, s1, 1, ROW_T, :]
+                    p0 = pool[g, s0, 0, ROW_P, :]
+                    p1 = pool[g, s1, 0, ROW_P, :]
+                    eps_p0 = _c01(_lipg(t00, eps_c[0], t01,
+                                        eps_c[1], t_s))
+                    eps_p1 = _c01(_lipg(t10, eps_c[2], t11,
+                                        eps_c[3], t_s))
+                    return _c01(_lipg(p0, eps_p0, p1, eps_p1, p_s)), okl
+
+                if ABLATE == "onecombo":
+                    v = combo_ref[0, 0, (s * G + g) * MAXC]
+                    eps_t, okl = combo_eval(v >> 15, (v >> 8) & 127)
+                else:
+                    acc[0, :, :] = jnp.zeros((RG, Dp), jnp.float32)
+                    acc[1, :, :] = jnp.zeros((RG, Dp), jnp.float32)
+                    for k in range(MAXC):
+                        v = combo_ref[0, 0, (s * G + g) * MAXC + k]
+
+                        @pl.when(v != 0)
+                        def _(v=v, combo_eval=combo_eval):
+                            eps_t, okl = combo_eval(v >> 15,
+                                                    (v >> 8) & 127)
+                            ray_in = ((v >> iota_ray) & 1) != 0
+                            acc[0, :, :] = acc[0, :, :] + jnp.where(
+                                ray_in, eps_t, 0.0)
+                            acc[1, :, :] = acc[1, :, :] + jnp.where(
+                                ray_in, okl, 0.0)
+                    eps_t = acc[0, :, :]
+                    okl = acc[1, :, :]
+                opaque = tp < np.float32(TAU_OPAQUE)
+                factor = (1.0 - eps_t) / jnp.where(opaque, 1.0, tp)
+                factor = jnp.where(okl > 0, factor, 1.0)
+                factor = jnp.where(opaque, 0.0, factor)
+                tau_gas = tau_gas * factor
+                new_rows.append(jnp.where(valid_s, tp * factor, tp))
+            tau_path = jnp.stack(new_rows, axis=0)
+
+            # --- source + integration (new_obs_core) ------------------
+            src = _source_rows(tsm_ref, sr_ref, s, RG, n_src)
+            eps_tot = 1.0 - tau_gas * jnp.exp(-bds)
+            upd = valid_s & (tau_gas > 0.0)
+            rad = jnp.where(upd, rad + src * eps_tot * tau, rad)
+            tau = jnp.where(upd, tau * (1.0 - eps_tot), tau)
+            return rad, tau, tau_path
+
+        rad0 = jnp.zeros((RG, Dp), jnp.float32)
+        tau0 = jnp.ones((RG, Dp), jnp.float32)
+        tp0 = jnp.ones((G, RG, Dp), jnp.float32)
+
+        if not early_exit:
+            rad, tau, _ = jax.lax.fori_loop(0, nb, body, (rad0, tau0, tp0))
+        else:
+            # same exact exit as the group kernel (see its comment);
+            # with all DMAs done in the prologue there is no lookahead
+            # to drain, so the while_loop is the whole story
+            dead_lane = jnp.max(cm_ref[:, :], axis=0) <= 0.0
+
+            def cond(carry):
+                s, _rad, _tau, tau_path = carry
+                lanemin = jnp.min(tau_path, axis=0)
+                lanemin = jnp.where(dead_lane[None, :], 0.0, lanemin)
+                live = jnp.max(lanemin) >= np.float32(TAU_OPAQUE)
+                return (s < nb) & live
+
+            def wbody(carry):
+                s, rad, tau, tau_path = carry
+                rad, tau, tau_path = body(s, (rad, tau, tau_path))
+                return s + 1, rad, tau, tau_path
+
+            s_end, rad, tau, _ = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), rad0, tau0, tp0))
+            send_ref[0, :, :] = jnp.full((RG, Dp), s_end, jnp.int32)
+
+        rad_ref[0, :, :] = rad
+        tau_ref[0, :, :] = tau
+
+    return kernel
+
+
 def resolve_rg(G: int, K_aug: int, Dp: int) -> int:
     """Rays per grid step: as many sublanes as the corner-slab VMEM
     budget allows (the analogue of the reference's GPU_SHARED_MEMORY
@@ -837,7 +1196,8 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
                     ig_co2: int, ig_h2o: int,
                     interpret: bool = False,
                     early_exit: bool | None = None,
-                    return_s_end: bool = False):
+                    return_s_end: bool = False,
+                    variant: str = "group"):
     """Run the fused kernel over all rays; returns (rad, tau) [R, D] f32
     (plus the per-group early-exit segment counts when requested).
 
@@ -847,6 +1207,13 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     bitwise independent of the caller's ray order.  Surface emission
     and brightness conversion stay outside (cheap [R, D] epilogues,
     like the separate surface/BT kernels, GPUdrivers.cu:234-240).
+
+    ``variant``: "group" = per-segment double-buffered slab DMAs with
+    neighbour reuse (any table mode); "pool" = whole-LOS slot pool with
+    per-combo evaluation (turbo mode only; the caller must have checked
+    :func:`pool_plan` against POOL_NPAIR/POOL_MAXC -- an overflowing
+    workload yields garbage under "pool", which is why the choice is a
+    static driver decision, not an in-kernel branch).
     """
     G, PT, K_aug, Dp = pt.eps_aug.shape
     K = pt.k_rows
@@ -854,25 +1221,18 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     W = los.k.shape[2]
     n_src = pt.sr.shape[0]
     RG = resolve_rg(G, K_aug, Dp)
+    if variant == "pool" and pt.mode != "turbo":
+        raise ValueError("variant='pool' requires turbo tables")
+    return_ok = False
+    if variant == "pool!":                 # pool + in-graph capacity flag
+        variant, return_ok = "pool", True
 
     # sort by tangent height so each group's rays traverse nearly
     # identical table cells (maximises fetch skipping + neighbour
     # reuse); pad the ray axis to the group multiple with the last ray
-    order = jnp.argsort(los.tpz)
-    Rp = _round_up(R, RG)
-    perm = jnp.concatenate(
-        [order, jnp.broadcast_to(order[-1:], (Rp - R,))]) if Rp > R \
-        else order
-    los = jax.tree_util.tree_map(lambda a: a[perm], los)
+    los, idx, order = _sorted_frozen_idx(pt, los, RG)
+    Rp = idx.shape[0]
     NG = Rp // RG
-
-    idx = _freeze_beyond_np(
-        _corner_indices(
-            jnp.asarray(pt.p_ax, los.p.dtype),
-            jnp.asarray(pt.t_ax, los.p.dtype),
-            jnp.asarray(pt.np_u), jnp.asarray(pt.nt_u), los.p, los.t),
-        los.np_)
-    sched = _group_schedule(idx, RG).reshape(NG, 1, S * G * 2 * RG)
     seg = _pack_segments(los, ig_co2, ig_h2o)          # [Rp, S, F]
     F_SEG = seg.shape[2]
     t_smem = jnp.transpose(
@@ -883,13 +1243,6 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     if early_exit is None:
         early_exit = bool(int(os.environ.get(
             "JURASSIC_PALLAS_EARLY_EXIT", "0")))
-    kernel = _make_kernel(G, S, K, K_aug, Dp, W, RG, tuple(flags),
-                          ig_co2, ig_h2o, n_src, early_exit,
-                          pt.mode, pt.deg_f, pt.deg_i)
-
-    slab_bytes = NBUF * G * 4 * K_aug * RG * Dp * 4
-    stream_bytes = 2 * RG * S * F_SEG * 4       # double-buffered block
-    vlim = slab_bytes + stream_bytes + pt.sr.size * 4 + 6 * 1024 * 1024
 
     out_specs = [
         pl.BlockSpec((1, RG, Dp), lambda r: (r, 0, 0)),
@@ -903,34 +1256,94 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         out_specs.append(pl.BlockSpec((1, RG, Dp), lambda r: (r, 0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((NG, RG, Dp), jnp.int32))
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(NG,),
-        in_specs=[
-            pl.BlockSpec((1, 1, RG), lambda r: (r, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, S * G * 2 * RG), lambda r: (r, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, S * RG), lambda r: (r, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((RG, S, F_SEG), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cc rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # sr
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # chan_mask
-            pl.BlockSpec(memory_space=pl.ANY),       # eps_aug (HBM)
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, G, 4, K_aug, RG, Dp), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, G, 2, RG)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(vlim)),
-        interpret=interpret,
-    )(np_grp, sched, t_smem, seg, cc_rows, pt.sr, pt.chan_mask,
-      pt.eps_aug.reshape(G, PT, K_aug, 1, Dp))
+    common_specs = [
+        pl.BlockSpec((RG, S, F_SEG), lambda r: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # cc rows
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # sr
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # chan_mask
+        pl.BlockSpec(memory_space=pl.ANY),       # eps_aug (HBM)
+    ]
+
+    if variant == "pool":
+        NPAIR = min(POOL_NPAIR, PT)
+        MAXC = min(POOL_MAXC, RG)
+        if os.environ.get("JURASSIC_POOL_ABLATE") == "nosched":
+            pool_ipt = jnp.zeros((NG, G, NPAIR), jnp.int32)
+            combo = jnp.zeros((NG, S, G, MAXC), jnp.int32)
+            ok = jnp.bool_(True)
+        else:
+            pool_ipt, combo, ok = _pool_schedule(idx, RG, NPAIR, MAXC)
+        kernel = _make_pool_kernel(G, S, Dp, W, RG, NPAIR, MAXC,
+                                   tuple(flags), ig_co2, ig_h2o, n_src,
+                                   early_exit, pt.deg_f, pt.deg_i)
+        # ray-minor stream [NG, S, RG, F]: one (RG, F) vreg tile per
+        # segment (see the field-extraction comment in the kernel)
+        seg4 = seg.reshape(NG, RG, S, F_SEG).transpose(0, 2, 1, 3)
+        pool_bytes = G * NPAIR * 2 * K_aug * Dp * 4
+        vlim = pool_bytes + 2 * S * RG * 128 * 4 + pt.sr.size * 4 \
+            + 6 * 1024 * 1024
+        outs = pl.pallas_call(
+            kernel,
+            grid=(NG,),
+            in_specs=[
+                pl.BlockSpec((1, 1, RG), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, G * NPAIR), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S * G * MAXC), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S * RG), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, S, RG, F_SEG), lambda r: (r, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + common_specs[1:],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((G, NPAIR, 2, K_aug, Dp), jnp.float32),
+                pltpu.SemaphoreType.DMA((G, NPAIR)),
+                pltpu.VMEM((2, RG, Dp), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(vlim)),
+            interpret=interpret,
+        )(np_grp, pool_ipt.reshape(NG, 1, G * NPAIR),
+          combo.reshape(NG, 1, S * G * MAXC), t_smem, seg4, cc_rows,
+          pt.sr, pt.chan_mask, pt.eps_aug)
+    else:
+        sched = _group_schedule(idx, RG).reshape(NG, 1, S * G * 2 * RG)
+        kernel = _make_kernel(G, S, K, K_aug, Dp, W, RG, tuple(flags),
+                              ig_co2, ig_h2o, n_src, early_exit,
+                              pt.mode, pt.deg_f, pt.deg_i)
+
+        slab_bytes = NBUF * G * 4 * K_aug * RG * Dp * 4
+        stream_bytes = 2 * RG * S * F_SEG * 4   # double-buffered block
+        vlim = slab_bytes + stream_bytes + pt.sr.size * 4 \
+            + 6 * 1024 * 1024
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(NG,),
+            in_specs=[
+                pl.BlockSpec((1, 1, RG), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S * G * 2 * RG), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S * RG), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ] + common_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, G, 4, K_aug, RG, Dp), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF, G, 2, RG)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(vlim)),
+            interpret=interpret,
+        )(np_grp, sched, t_smem, seg, cc_rows, pt.sr, pt.chan_mask,
+          pt.eps_aug.reshape(G, PT, K_aug, 1, Dp))
 
     rad, tau = outs[0], outs[1]
     # un-group, un-pad, un-sort, un-lane-pad
@@ -939,8 +1352,11 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     D = pt.d_true
     rad = rad.reshape(Rp, Dp)[inv, :D]
     tau = tau.reshape(Rp, Dp)[inv, :D]
+    res = (rad, tau)
+    if return_ok:
+        res += (ok,)
     if return_s_end:
         s_end = (outs[2].reshape(Rp, Dp)[::RG, 0] if early_exit
                  else jnp.full((NG,), S, jnp.int32))
-        return rad, tau, s_end
-    return rad, tau
+        res += (s_end,)
+    return res if len(res) > 2 else (rad, tau)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -90,7 +91,8 @@ def _pallas_in_specs(pt: PallasTables):
 
 def make_sharded_pallas_fn(mesh: Mesh, pt: PallasTables, flags,
                            ig_co2: int, ig_h2o: int, bbt: bool,
-                           interpret: bool, early_exit=None):
+                           interpret: bool, early_exit=None,
+                           variant: str = "group"):
     """jit(shard_map(...)) of the fused-Pallas RT step over the
     ("rays", "chan") mesh: every shard runs the SAME kernel the
     single-chip driver runs (rt_pallas_core) on its ray/channel block.
@@ -99,9 +101,11 @@ def make_sharded_pallas_fn(mesh: Mesh, pt: PallasTables, flags,
     awareness at all."""
     out_specs = RtOut(rad=P(RAY_AXIS, CHAN_AXIS),
                       tau=P(RAY_AXIS, CHAN_AXIS))
+    if variant == "pool!":     # + per-shard capacity-ok flag
+        out_specs = (out_specs, P(RAY_AXIS, CHAN_AXIS))
     body = partial(rt_pallas_core, flags=flags, ig_co2=ig_co2,
                    ig_h2o=ig_h2o, bbt=bbt, interpret=interpret,
-                   early_exit=early_exit)
+                   early_exit=early_exit, variant=variant)
     try:
         fn = jax.shard_map(body, mesh=mesh,
                            in_specs=_pallas_in_specs(pt),
@@ -180,11 +184,23 @@ class ShardedForwardModel(ForwardModel):
         self.n_ray_shards = mesh.shape[RAY_AXIS]
         self.ray_multiple = self.n_ray_shards
         _place_tables(mesh, self)
-        if self.kernel_mode == "pallas":
-            self._pallas_sharded = make_sharded_pallas_fn(
-                mesh, self.pallas_tbl, self.flags, self.ig_co2,
-                self.ig_h2o, bool(ctl.write_bbt), self.pallas_interpret,
-                early_exit=True if ctl.early_exit else None)
+        self._pallas_sharded_fns: dict = {}
+
+    def _sharded_pallas_fn(self, variant: str):
+        """Per-variant jit(shard_map) cache (the variant resolution is
+        the optimistic pool -> group policy of
+        ForwardModel._resolve_variant; each shard checks its OWN pool
+        capacity, the driver AND-reduces the per-shard flags)."""
+        fn = self._pallas_sharded_fns.get(variant)
+        if fn is None:
+            fn = make_sharded_pallas_fn(
+                self.mesh, self.pallas_tbl, self.flags, self.ig_co2,
+                self.ig_h2o, bool(self.ctl.write_bbt),
+                self.pallas_interpret,
+                early_exit=True if self.ctl.early_exit else None,
+                variant=variant)
+            self._pallas_sharded_fns[variant] = fn
+        return fn
 
     def trace(self, atm: Atm, obs: Obs, hydro: bool = True) -> LosData:
         """Rays-sharded tracing: profiles and observer geometry are placed
@@ -205,9 +221,11 @@ class ShardedForwardModel(ForwardModel):
 
     def integrate(self, los: LosData) -> RtOut:
         if self.kernel_mode == "pallas":
-            return self._pallas_sharded(
-                self.pallas_tbl, self.cc_rows, self.sr, self.st, self.nu,
-                los, los.tsurf)
+            return self._integrate_pallas(
+                lambda var: self._sharded_pallas_fn(var)(
+                    self.pallas_tbl, self.cc_rows, self.sr, self.st,
+                    self.nu, los, los.tsurf),
+                los)
         return super().integrate(los)
 
     def _to_host(self, x) -> np.ndarray:

@@ -214,6 +214,91 @@ def test_pallas_early_exit_bitwise():
     assert np.asarray(s_end).min() < nb
 
 
+def _turbo_model_and_los(nr=11, nlos=48):
+    """Turbo model + traced limb batch with a ray count that is NOT a
+    group multiple (exercises group padding in both variants)."""
+    ctl = synthetic_ctl(ng=3, nd=5)
+    ctl.nlos = nlos
+    ctl.rayds, ctl.raydz = 50.0, 5.0
+    ft = synthetic_fast_tables(ctl, n_p=8, n_t=5, n_k=40)
+    ctl.kernel = "turbo"
+    m = ForwardModel(ctl, fast_tables=ft)
+    atm = synthetic_atm(ctl)
+    obs = limb_workload(ctl, nr)
+    return m, m.trace(atm, obs)
+
+
+def test_pool_variant_matches_group():
+    """The slot-pool kernel variant (whole-LOS distinct-pair pool with
+    per-combo evaluation, ega_fused._make_pool_kernel) must match the
+    per-segment-DMA group variant to a couple of float32 ulps: a
+    combo's broadcast pool rows hold exactly the values the group
+    kernel's per-ray slab copies held, and each lane receives exactly
+    one masked contribution.  (On the TPU backend the two are bitwise
+    equal; the CPU interpret path goes through XLA:CPU, whose FMA
+    contraction differs between the [Dp]-broadcast and [RG, Dp] graph
+    shapes -- hence the ulp-level tolerance here.)"""
+    from jurassic_tpu.ops.pallas import rt_fused_pallas
+    from jurassic_tpu.ops.pallas.ega_fused import pool_plan
+
+    m, los = _turbo_model_and_los()
+    args = (m.pallas_tbl, m.cc_rows, los, m.flags, m.ig_co2, m.ig_h2o)
+    nd_, nc_ = (int(x) for x in pool_plan(m.pallas_tbl, los))
+    assert nd_ <= 96 and nc_ <= 4          # plan admits the pool variant
+    rad0, tau0 = rt_fused_pallas(*args, interpret=True, variant="group")
+    rad1, tau1 = rt_fused_pallas(*args, interpret=True, variant="pool")
+    ULP = 1e-6
+    np.testing.assert_allclose(np.asarray(rad1), np.asarray(rad0),
+                               rtol=0, atol=ULP)
+    np.testing.assert_allclose(np.asarray(tau1), np.asarray(tau0),
+                               rtol=0, atol=ULP)
+    # early exit on the pool variant: bitwise vs the pool fori_loop
+    # (identical graph; no DMA lookahead to drain -- the pool is
+    # fetched entirely in the group prologue)
+    rad2, tau2, _ = rt_fused_pallas(*args, interpret=True, variant="pool",
+                                    early_exit=True, return_s_end=True)
+    np.testing.assert_array_equal(np.asarray(rad1), np.asarray(rad2))
+    np.testing.assert_array_equal(np.asarray(tau1), np.asarray(tau2))
+
+
+def test_pool_variant_optimistic_dispatch(monkeypatch):
+    """Variant policy (ForwardModel._resolve_variant): turbo batches
+    dispatch the pool kernel optimistically with an in-graph capacity
+    flag; a pool overflow falls back to the group kernel with
+    IDENTICAL results (the flag rides the output pull -- no separate
+    plan pass); table mode always runs the group kernel."""
+    from jurassic_tpu.ops.pallas import ega_fused
+
+    m, los = _turbo_model_and_los()
+    out = m.integrate(los)
+    assert m.last_variant == "pool"
+    assert m._variant_cache[id(los.ds)] == "pool_ok"  # checked once
+    # capacity overflow => silent group fallback, same physics (a
+    # distinct nlos so the patched capacity gets a fresh jit trace)
+    monkeypatch.setattr(ega_fused, "POOL_NPAIR", 2)
+    m2, los2 = _turbo_model_and_los(nlos=56)
+    out2 = m2.integrate(los2)
+    assert m2.last_variant == "group"
+    assert m2._variant_cache[id(los2.ds)] == "group"
+    assert np.isfinite(np.asarray(out2.rad)).all()
+    monkeypatch.undo()
+    # env knob forces the variant (skips the capacity check)
+    monkeypatch.setenv("JURASSIC_PALLAS_VARIANT", "group")
+    m3, los3 = _turbo_model_and_los()
+    m3.integrate(los3)
+    assert m3.last_variant == "group"
+    monkeypatch.delenv("JURASSIC_PALLAS_VARIANT")
+    # table mode never pools (its slabs exceed any VMEM pool budget)
+    ctl = synthetic_ctl(ng=2, nd=4)
+    ft = synthetic_fast_tables(ctl, n_p=6, n_t=4, n_k=40)
+    ctl.kernel = "pallas"
+    mt = ForwardModel(ctl, fast_tables=ft)
+    atm = synthetic_atm(ctl)
+    lost = mt.trace(atm, limb_workload(ctl, 4))
+    mt.integrate(lost)
+    assert mt.last_variant == "group"
+
+
 def test_pallas_declared_but_unreferenced_windows():
     """ctl.nw larger than max(window)+1 (declared windows that no
     channel references): the kernel statically reads one continuum row
