@@ -196,6 +196,25 @@ def _interval_index(zgrid, nlev, z0):
     return jnp.clip(jnp.sum(below) - 1, 0, nlev - 2)
 
 
+def _interval_onehots(zgrid, nlev, z0):
+    """One-hot rows of the bracketing levels (ilo, ilo+1).  Level
+    values are then extracted with :func:`_pick` masked sums instead of
+    dynamic indexing: under the ray vmap a per-ray ``arr[i]`` becomes
+    an XLA gather, which TPU lowers to per-element dynamic slices that
+    dominate the whole tracer step; the one-hot reduce fuses into a
+    couple of fast vector ops.  Exactly one term is nonzero, so the
+    extraction is bit-exact in any dtype."""
+    i = _interval_index(zgrid, nlev, z0)
+    iota = jnp.arange(zgrid.shape[-1])
+    return iota == i, iota == (i + 1)
+
+
+def _pick(oh, arr):
+    """arr[i] as a one-hot masked sum over the last axis (see
+    :func:`_interval_onehots`)."""
+    return jnp.sum(jnp.where(oh, arr, 0), axis=-1)
+
+
 def _lin(x0, y0, x1, y1, x):
     return y0 + (x - x0) * (y1 - y0) / (x1 - x0)
 
@@ -210,18 +229,18 @@ def _eip(x0, y0, x1, y1, x):
 
 
 def interp_pt(prof_z, prof_p, prof_t, nlev, z0):
-    i = _interval_index(prof_z, nlev, z0)
-    z0_, z1_ = prof_z[i], prof_z[i + 1]
-    p = _eip(z0_, prof_p[i], z1_, prof_p[i + 1], z0)
-    t = _lin(z0_, prof_t[i], z1_, prof_t[i + 1], z0)
+    lo, hi = _interval_onehots(prof_z, nlev, z0)
+    z0_, z1_ = _pick(lo, prof_z), _pick(hi, prof_z)
+    p = _eip(z0_, _pick(lo, prof_p), z1_, _pick(hi, prof_p), z0)
+    t = _lin(z0_, _pick(lo, prof_t), z1_, _pick(hi, prof_t), z0)
     return p, t
 
 
 def interp_qk(prof_z, prof_q, prof_k, nlev, z0):
-    i = _interval_index(prof_z, nlev, z0)
-    z0_, z1_ = prof_z[i], prof_z[i + 1]
-    q = _lin(z0_, prof_q[:, i], z1_, prof_q[:, i + 1], z0)
-    k = _lin(z0_, prof_k[:, i], z1_, prof_k[:, i + 1], z0)
+    lo, hi = _interval_onehots(prof_z, nlev, z0)
+    z0_, z1_ = _pick(lo, prof_z), _pick(hi, prof_z)
+    q = _lin(z0_, _pick(lo, prof_q), z1_, _pick(hi, prof_q), z0)
+    k = _lin(z0_, _pick(lo, prof_k), z1_, _pick(hi, prof_k), z0)
     return q, k
 
 
@@ -229,12 +248,12 @@ def interp_all(prof, z0):
     """interp_pt + interp_qk with ONE shared interval search (they are
     always called at the same altitude in the tracer step; the
     compare-sum over the level grid is the step's dominant cost)."""
-    i = _interval_index(prof.z, prof.nlev, z0)
-    za, zb = prof.z[i], prof.z[i + 1]
-    p = _eip(za, prof.p[i], zb, prof.p[i + 1], z0)
-    t = _lin(za, prof.t[i], zb, prof.t[i + 1], z0)
-    q = _lin(za, prof.q[:, i], zb, prof.q[:, i + 1], z0)
-    k = _lin(za, prof.k[:, i], zb, prof.k[:, i + 1], z0)
+    lo, hi = _interval_onehots(prof.z, prof.nlev, z0)
+    za, zb = _pick(lo, prof.z), _pick(hi, prof.z)
+    p = _eip(za, _pick(lo, prof.p), zb, _pick(hi, prof.p), z0)
+    t = _lin(za, _pick(lo, prof.t), zb, _pick(hi, prof.t), z0)
+    q = _lin(za, _pick(lo, prof.q), zb, _pick(hi, prof.q), z0)
+    k = _lin(za, _pick(lo, prof.k), zb, _pick(hi, prof.k), z0)
     return p, t, q, k
 
 

@@ -288,21 +288,27 @@ def _count_leq(values, counts, x):
 
 def _corner_indices(p_ax, t_ax, np_u, nt_u, p_seg, t_seg):
     """Flat [P*T] corner-pair start indices ipt00/ipt10 per
-    (ray, segment, gas).  p_seg/t_seg: [R, S]."""
+    (ray, segment, gas).  p_seg/t_seg: [R, S].
+
+    The bracketing-row extraction is a ONE-HOT CONTRACTION over the
+    tiny pressure axis (an einsum the MXU eats), not a gather: XLA
+    lowers a 39M-element ``take_along_axis`` on TPU to per-element
+    dynamic slicing that costs more than the Pallas kernel it feeds.
+    Exactly one one-hot term is nonzero per output, so the contraction
+    is bit-exact row extraction."""
     G, P, T = t_ax.shape
     pb = p_seg[:, :, None]                                 # [R, S, 1]
     tb = t_seg[:, :, None]
     ipr = _count_leq(p_ax[None, None], np_u[None, None],
                      jnp.broadcast_to(pb, pb.shape[:2] + (G,)))  # [R,S,G]
-    t_lo = jnp.take_along_axis(
-        t_ax[None, None], ipr[..., None, None],
-        axis=3).squeeze(3)                                 # [R, S, G, T]
-    t_hi = jnp.take_along_axis(
-        t_ax[None, None], (ipr + 1)[..., None, None], axis=3).squeeze(3)
-    nt_lo = jnp.take_along_axis(nt_u[None, None], ipr[..., None],
-                                axis=3).squeeze(3)
-    nt_hi = jnp.take_along_axis(nt_u[None, None], (ipr + 1)[..., None],
-                                axis=3).squeeze(3)
+    dt = t_ax.dtype
+    oh_lo = (ipr[..., None] == jnp.arange(P)).astype(dt)   # [R,S,G,P]
+    oh_hi = ((ipr + 1)[..., None] == jnp.arange(P)).astype(dt)
+    t_lo = jnp.einsum("rsgp,gpt->rsgt", oh_lo, t_ax)       # [R,S,G,T]
+    t_hi = jnp.einsum("rsgp,gpt->rsgt", oh_hi, t_ax)
+    ntf = nt_u.astype(dt)
+    nt_lo = jnp.einsum("rsgp,gp->rsg", oh_lo, ntf).astype(jnp.int32)
+    nt_hi = jnp.einsum("rsgp,gp->rsg", oh_hi, ntf).astype(jnp.int32)
     tg = jnp.broadcast_to(tb, tb.shape[:2] + (G,))
     it0 = _count_leq(t_lo, nt_lo, tg)
     it1 = _count_leq(t_hi, nt_hi, tg)
@@ -314,12 +320,17 @@ def _corner_indices(p_ax, t_ax, np_u, nt_u, p_seg, t_seg):
 def _freeze_beyond_np(idx, np_):
     """Clamp each ray's corner-index stream beyond its active LOS bound
     to its last active value, so inactive segments never contribute
-    cell changes to the group fetch schedule.  idx: [R, S, G, 2]."""
+    cell changes to the group fetch schedule.  idx: [R, S, G, 2].
+
+    Only the [R, G, 2] end values are gathered (tiny); the fill is a
+    broadcast select, not a [R, S, G, 2] gather."""
     R, S = idx.shape[:2]
-    s_cl = jnp.minimum(jnp.arange(S)[None, :],
-                       (jnp.clip(np_, 1, S) - 1)[:, None])    # [R, S]
-    return jnp.take_along_axis(
-        idx, jnp.broadcast_to(s_cl[:, :, None, None], idx.shape), axis=1)
+    last_s = (jnp.clip(np_, 1, S) - 1).astype(jnp.int32)       # [R]
+    last = jnp.take_along_axis(
+        idx, last_s[:, None, None, None], axis=1)              # [R,1,G,2]
+    active = jnp.arange(S)[None, :, None, None] <= last_s[:, None,
+                                                          None, None]
+    return jnp.where(active, idx, last)
 
 
 def _group_schedule(idx, rg: int):
