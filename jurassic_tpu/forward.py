@@ -474,21 +474,35 @@ class ForwardModel:
         return pt, stats
 
     def per_ray_device_bytes(self) -> int:
-        """Device working-set bytes per ray of one in-flight package:
-        the traced LosData arrays, the Pallas segment/index streams and
-        the rad/tau outputs (tables are process-resident and excluded,
-        like the reference's lane sizing which counts obs/atm/los
-        buffers but not tbl, GPUdrivers.cu:278,296-307)."""
+        """Device PEAK-footprint bytes per ray of one in-flight package:
+        the traced LosData arrays, the Pallas segment/index streams, the
+        rad/tau outputs, AND the transient intermediates of the corner
+        bracketing + slot-pool schedule (the one-hot [S, G, P]/[S, G, T]
+        contraction operands and the [2SG, NPAIR] compaction masks) --
+        XLA's buffer assignment keeps several of those live at once, and
+        at nlos = 400 they dominate the steady-state arrays ~50x: a
+        10k-ray batch peaks ~1.9 MB/ray = ~20 GB, past a 16 GB chip.
+        (Tables are process-resident and excluded, like the reference's
+        lane sizing, GPUdrivers.cu:278,296-307.)"""
         ctl = self.ctl
         S, G, W = ctl.nlos, ctl.ng, ctl.nw
         b = np.dtype(self.dtype).itemsize
         los = S * (7 + 2 * G + W) * b                 # LosData fields
         streams = S * (N_SEG_STREAM + W + G + G * 2 + 2) * 4
         out = 2 * _round_up_128(max(ctl.nd, 1)) * 4
-        return los + streams + out
+        sched = 0
+        if self.kernel_mode == "pallas" and self.pallas_tbl is not None:
+            from .ops.pallas.ega_fused import POOL_NPAIR
+            P = int(self.pallas_tbl.p_ax.shape[-1])
+            T = int(self.pallas_tbl.t_ax.shape[-1])
+            # one-hot operands + bracketing rows (lo+hi, ~4 concurrent
+            # f32 temps) and the pool compaction/inverse masks
+            sched = S * G * ((P + T) * 4 * 4
+                             + 2 * (min(POOL_NPAIR, P * T) + 8) * 4)
+        return los + streams + out + sched
 
     def _resolve_raypack(self, nr: int) -> int:
-        """RAYPACK = 0 (default): auto-size the package so ~4 in-flight
+        """RAYPACK = 0 (default): auto-size the package so ~2 in-flight
         packages fit 90% of free device memory (the reference sizes its
         GPU lane pool to 90% of free, GPUdrivers.cu:296-321); > 0: the
         explicit knob; < 0: force one monolithic batch.  Auto resolves
@@ -500,13 +514,25 @@ class ForwardModel:
             return pack
         if pack < 0:
             return 0
+        dev = jax.local_devices()[0]
         try:
-            st = jax.local_devices()[0].memory_stats()
+            st = dev.memory_stats()
             free = int(st["bytes_limit"]) - int(st.get("bytes_in_use", 0))
         except Exception:
-            return 0
+            if dev.platform == "cpu":
+                return 0       # host RAM: one batch, as before
+            # accelerator plugin without memory_stats (e.g. tunneled
+            # chips): fall back to the chip class's HBM capacity, less
+            # the resident tables (JURASSIC_DEVICE_MEM_GB overrides)
+            import os
+            cap = float(os.environ.get("JURASSIC_DEVICE_MEM_GB", 16.0))
+            tbl = (self.pallas_tbl.eps_aug.size * 4
+                   if self.pallas_tbl is not None else 0)
+            free = int(cap * 1e9) - tbl
         prb = self.per_ray_device_bytes()
-        budget = int(0.9 * free) // 4                 # ~4 lanes in flight
+        # ~2 packages in flight (the RAYPACK loop overlaps package n+1's
+        # dispatch with package n's compute)
+        budget = int(0.9 * free) // 2
         fit = max(budget // max(prb, 1), 1)
         if fit >= nr:
             return 0

@@ -516,15 +516,35 @@ def dma_schedule_stats(pt: "PallasTables", los, variant: str = "group"):
     """(RG, HBM pair fetches, VMEM neighbour copies) for the schedule
     :func:`rt_fused_pallas` will run on this workload under the given
     variant -- the roofline bytes-moved model.  Replicates the driver's
-    tangent sort, group padding and beyond-np freezing exactly."""
+    tangent sort, group padding and beyond-np freezing exactly.
+
+    Groups are processed in jitted chunks: the schedule is
+    group-independent, and an eager (unfused) _pool_schedule on a
+    10k-ray batch materialises a >10 GB compaction mask."""
     G, PT, K_aug, Dp = pt.eps_aug.shape
     RG = resolve_rg(G, K_aug, Dp)
     _, idx, _ = _sorted_frozen_idx(pt, los, RG)
+    idx = np.asarray(idx)
+    Rp = idx.shape[0]
+    CH = 128 * RG                         # rays per stats chunk
     if variant == "pool":
-        pool_ipt, _combo, _ok = _pool_schedule(
-            idx, RG, min(POOL_NPAIR, PT), min(POOL_MAXC, RG))
-        return RG, int(jnp.sum(pool_ipt >= 0)), 0
-    packed = _group_schedule(idx, RG)
+        npair, maxc = min(POOL_NPAIR, PT), min(POOL_MAXC, RG)
+
+        @jax.jit
+        def chunk_stats(blk):
+            pool_ipt, _c, _o = _pool_schedule(blk, RG, npair, maxc)
+            return jnp.sum(pool_ipt >= 0)
+
+        pairs = 0
+        for s in range(0, Rp, CH):
+            blk = idx[s:s + CH]
+            if blk.shape[0] % RG:        # pad partial tail chunk
+                blk = np.concatenate(
+                    [blk, np.repeat(blk[-1:],
+                                    RG - blk.shape[0] % RG, axis=0)])
+            pairs += int(chunk_stats(blk))
+        return RG, pairs, 0
+    packed = _group_schedule(jnp.asarray(idx), RG)
     return (RG, int(jnp.sum(packed & 1)),
             int(jnp.sum((packed >> 1) & 1)))
 
