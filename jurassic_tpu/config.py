@@ -165,12 +165,14 @@ class Ctl:
     # TPU execution knobs (no reference equivalent)
     kernel: str = "auto"   # auto | jax | pallas | turbo | exact
     nlos: int = NLOS_MAX   # LOS points budget per ray (static shape)
-    raypack: int = 0       # rays per pipelined package (0 = one batch);
-                           # the stream/package overlap analogue
-                           # (GPUdrivers.cu:176-183, 296-335);
-                           # < 0: auto-size from device memory (the
-                           # reference's 90%-of-free lane sizing,
-                           # GPUdrivers.cu:296-321)
+    raypack: int = 0       # rays per pipelined package; the
+                           # stream/package overlap analogue
+                           # (GPUdrivers.cu:176-183, 296-335).
+                           # 0 (default): auto-size from device memory
+                           # (the reference's 90%-of-free lane sizing,
+                           # GPUdrivers.cu:296-321); > 0: explicit
+                           # package size; < 0: force one monolithic
+                           # batch (matches ForwardModel._resolve_raypack)
     early_exit: int = 0    # Pallas kernel: stop the LOS loop once all
                            # lanes are opacity-frozen (exact; wins on
                            # opaque-limb scans, costs a few % of

@@ -323,7 +323,8 @@ class ForwardModel:
         self.kernel_mode = "exact" if not self.use_fast else "jax"
         self.pallas_tbl = None
         self.turbo_stats = None
-        self._variant_cache: dict = {}   # los identity -> kernel variant
+        self._pending_ok = None          # (ok flag, group-redo fn) of the
+        #                                  last optimistic pool dispatch
         self.last_variant = None         # variant of the last dispatch
         # USETPU dispatch (the reference's useGPU -1/0/1 = "if possible
         # / never / required", CPUdrivers.c:179-193, with USEGPU as the
@@ -531,13 +532,17 @@ class ForwardModel:
             free = int(cap * 1e9) - tbl
         prb = self.per_ray_device_bytes()
         # ~2 packages in flight (the RAYPACK loop overlaps package n+1's
-        # dispatch with package n's compute)
+        # dispatch with package n's compute); a package's rays split
+        # across the mesh's ray shards, so the per-DEVICE budget sizes
+        # ray_multiple times as many package rays (ADVICE r4)
         budget = int(0.9 * free) // 2
-        fit = max(budget // max(prb, 1), 1)
+        fit = max(budget // max(prb, 1), 1) * max(self.ray_multiple, 1)
         if fit >= nr:
             return 0
-        print(f"# RAYPACK auto: {fit} rays/package "
-              f"({prb} B/ray, {free / 1e9:.2f} GB free)")
+        if getattr(self, "_raypack_printed", None) != fit:
+            self._raypack_printed = fit
+            print(f"# RAYPACK auto: {fit} rays/package "
+                  f"({prb} B/ray, {free / 1e9:.2f} GB free)")
         return fit
 
     def _exec_ctx(self):
@@ -551,13 +556,14 @@ class ForwardModel:
     def _resolve_variant(self, los: LosData) -> str:
         """Kernel-variant policy for one traced batch: OPTIMISTICALLY
         dispatch the slot-pool kernel ("pool!": pool + an in-graph
-        capacity-ok flag) and fall back to the per-segment-DMA group
-        kernel only if a pool or combo capacity overflowed -- physical
-        atmospheres never overflow (measured max 76 distinct pairs of
-        the 96-slot pool), so the check costs nothing: the flag rides
-        the output pull the driver does anyway, with no separate plan
-        pass or host sync.  The choice is cached per los identity (the
-        bench and RAYPACK package loop re-integrate the same batch).
+        capacity-ok flag).  The flag is NOT synced here: it rides the
+        batched output pull (:meth:`_outputs_to_host`), where an
+        overflow triggers a group-kernel re-run of the same batch --
+        physical atmospheres never overflow (measured max 76 distinct
+        pairs of the 96-slot pool), so the check is free and, unlike
+        the round-4 ``id(los.ds)``-keyed verdict cache, cannot alias a
+        recycled Python id onto a new batch (ADVICE r4) nor block the
+        async RAYPACK package pipelining on a per-package host sync.
 
         ``JURASSIC_PALLAS_VARIANT=group|pool`` forces either (A/B
         knob; "pool" skips the capacity check)."""
@@ -568,36 +574,52 @@ class ForwardModel:
         env = os.environ.get("JURASSIC_PALLAS_VARIANT")
         if env in ("group", "pool"):
             return env
-        if len(self._variant_cache) > 16:
-            self._variant_cache.clear()
-        return self._variant_cache.get(id(los.ds), "pool!")
+        return "pool!"
 
     def _integrate_pallas(self, fn, los: LosData) -> RtOut:
         """Variant-resolved Pallas dispatch: ``fn(variant)`` runs the
-        jitted kernel; handles the optimistic pool -> group fallback
-        and records ``self.last_variant`` for observability."""
+        jitted kernel; records the optimistic pool dispatch's capacity
+        flag and a group-kernel redo closure in ``self._pending_ok``
+        for deferred consumption at the output pull, and
+        ``self.last_variant`` for observability."""
         var = self._resolve_variant(los)
-        if var in ("pool!", "pool_ok"):
-            # both run the SAME compiled "pool!" executable -- the flag
-            # output is free; "pool_ok" just skips the one-time host
-            # check (a re-dispatch under a different variant string
-            # would trigger a second compile)
+        self._pending_ok = None
+        if var == "pool!":
             out, okf = fn("pool!")
             self.last_variant = "pool"
-            if var == "pool_ok":
-                return out
-            if bool(self._to_host(okf).all()):
-                self._variant_cache[id(los.ds)] = "pool_ok"
-                return out
-            self._variant_cache[id(los.ds)] = "group"
-            var = "group"
+            self._pending_ok = (okf, lambda: fn("group"))
+            return out
         self.last_variant = "pool" if var == "pool" else "group"
         return fn(var)
+
+    def _pop_pending_ok(self):
+        """The (flag, redo) pair of the most recent optimistic pool
+        dispatch -- must be captured right after :meth:`integrate` (the
+        next package's dispatch overwrites it)."""
+        pend, self._pending_ok = self._pending_ok, None
+        return pend
 
     def integrate(self, los: LosData) -> RtOut:
         """RT integration with the resolved kernel: the fused Pallas
         kernel when selected (jr_fusion_kernel.mv4g.cu analogue), else
-        the jnp scan pipeline."""
+        the jnp scan pipeline.
+
+        Public form: an optimistic pool dispatch's capacity flag is
+        consumed HERE (one host bool) so direct callers always get
+        validated results.  formod's package loop uses
+        :meth:`_integrate_deferred` + :meth:`_pop_pending_ok` instead,
+        riding the flag on the batched output pull to keep the async
+        pipeline intact."""
+        out = self._integrate_deferred(los)
+        pend = self._pop_pending_ok()
+        if pend is not None:
+            okf, redo = pend
+            if not bool(self._to_host(okf).all()):
+                out = redo()
+                self.last_variant = "group"
+        return out
+
+    def _integrate_deferred(self, los: LosData) -> RtOut:
         if self.kernel_mode == "pallas":
             # EARLY_EXIT ctl flag (0 leaves the env-var debug override
             # in charge, which defaults to off)
@@ -739,10 +761,11 @@ class ForwardModel:
                 obs_run = pad_obs(obs, -(-r // m) * m)
                 los = (self.trace(atm, obs_run) if ctl.ip == 1
                        else self.pencil_trace(atm, obs_run))
-                out = self.integrate(los)
+                out = self._integrate_deferred(los)
                 (obs.rad, obs.tau, obs.tpz, obs.tplon,
                  obs.tplat) = self._outputs_to_host(
-                     (out.rad, out.tau, los.tpz, los.tplon, los.tplat), r)
+                     (out.rad, out.tau, los.tpz, los.tplon, los.tplat), r,
+                     pend=self._pop_pending_ok())
         formod_fov(ctl, obs)
         obs.rad[mask] = np.nan                        # apply_mask
         return obs
@@ -752,13 +775,28 @@ class ForwardModel:
         to gather fully-distributed arrays across processes)."""
         return np.array(x, np.float64)
 
-    def _outputs_to_host(self, arrays, r):
+    def _outputs_to_host(self, arrays, r, pend=None):
         """All per-call outputs in ONE device->host transfer: a single
         round trip matters on remote/tunneled devices where each pull
         pays fixed latency (the analogue of the reference's one D2H obs
-        copy per package, GPUdrivers.cu:244)."""
+        copy per package, GPUdrivers.cu:244).
+
+        ``pend``: the (capacity flag, group-redo fn) of an optimistic
+        pool dispatch.  The flag joins the same transfer; on the (never
+        physically observed) overflow the batch is re-integrated with
+        the group kernel and re-pulled -- the failure mode of a missed
+        check is silent garbage, so the flag is consumed EVERY call."""
         # np.array (not asarray): device_get may hand back zero-copy
         # read-only buffers, and formod mutates the outputs in place
+        if pend is not None:
+            okf, redo = pend
+            pulled = jax.device_get(tuple(arrays) + (okf,))
+            if bool(np.asarray(pulled[-1]).all()):
+                return tuple(np.array(a[:r], np.float64)
+                             for a in pulled[:-1])
+            out2 = redo()                 # pool overflow: group re-run
+            self.last_variant = "group"
+            arrays = (out2.rad, out2.tau) + tuple(arrays)[2:]
         return tuple(np.array(a[:r], np.float64)
                      for a in jax.device_get(arrays))
 
@@ -777,13 +815,14 @@ class ForwardModel:
                 f.name: np.ascontiguousarray(getattr(obs, f.name)[idx])
                 for f in dc.fields(Obs)})
             los_k = self.trace(atm, obs_k, hydro=False)  # prep + enqueue
-            out_k = self.integrate(los_k)            # enqueue
-            handles.append((min(pack, R - start), los_k, out_k))
+            out_k = self._integrate_deferred(los_k)  # enqueue
+            handles.append((min(pack, R - start), los_k, out_k,
+                            self._pop_pending_ok()))
         rad, tau, tpz, tplon, tplat = [], [], [], [], []
-        for n, los_k, out_k in handles:              # sync D2H at the end
+        for n, los_k, out_k, pend in handles:        # sync D2H at the end
             r5 = self._outputs_to_host(
                 (out_k.rad, out_k.tau, los_k.tpz, los_k.tplon,
-                 los_k.tplat), n)
+                 los_k.tplat), n, pend=pend)
             for dst, a in zip((rad, tau, tpz, tplon, tplat), r5):
                 dst.append(a)
         obs.rad = np.concatenate(rad)

@@ -502,6 +502,13 @@ def read_atm_rfm(path: str | Path, ctl: Ctl) -> Atm:
                 continue
             if cur is not None:
                 cur.extend(float(t) for t in line.split())
+    # a truncated/malformed block must fail HERE with a parse error,
+    # not later as an opaque broadcast shape mismatch (ADVICE r4)
+    for name, vals in blocks.items():
+        if len(vals) < npts:
+            raise ValueError(
+                f"RFM block *{name} in {path} holds {len(vals)} values "
+                f"but the header declares {npts} levels")
     atm = Atm.zeros(npts, ctl.ng, ctl.nw)
     atm.z = np.array(blocks.get("HGT", np.zeros(npts)))[:npts]
     atm.p = np.array(blocks.get("PRE", np.zeros(npts)))[:npts]

@@ -487,10 +487,13 @@ def _sorted_frozen_idx(pt: "PallasTables", los, rg: int):
 def pool_plan(pt: "PallasTables", los, rg: int | None = None):
     """(max distinct pairs per (group, gas), max cell combos per
     (segment, gas)) for this workload -- jit-friendly traced scalars.
-    The driver compares them against POOL_NPAIR/POOL_MAXC to pick the
-    kernel variant statically (plan once per traced batch, then
-    dispatch; the reference sizes its GPU launch from the workload the
-    same way, GPUdrivers.cu:296-321)."""
+
+    Diagnostic/test helper: the production capacity decision is NOT
+    made here -- the driver dispatches the pool kernel optimistically
+    and consumes the in-graph ok flag of :func:`_pool_schedule` at the
+    output pull (ForwardModel._resolve_variant / _outputs_to_host).
+    This plan exists for tests and for schedule observability (the
+    workload-sizing report style of GPUdrivers.cu:296-321)."""
     G, PT, K_aug, Dp = pt.eps_aug.shape
     R, S = los.ds.shape
     rg = rg or resolve_rg(G, K_aug, Dp)

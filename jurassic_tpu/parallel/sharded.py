@@ -219,20 +219,29 @@ class ShardedForwardModel(ForwardModel):
             for name in ("obsz", "obslon", "obslat", "vpz", "vplon", "vplat")}
         return trace_rays(self.ctl, prof, obs_geo, self.dtype)
 
-    def integrate(self, los: LosData) -> RtOut:
+    def _integrate_deferred(self, los: LosData) -> RtOut:
         if self.kernel_mode == "pallas":
             return self._integrate_pallas(
                 lambda var: self._sharded_pallas_fn(var)(
                     self.pallas_tbl, self.cc_rows, self.sr, self.st,
                     self.nu, los, los.tsurf),
                 los)
-        return super().integrate(los)
+        return super()._integrate_deferred(los)
 
     def _to_host(self, x) -> np.ndarray:
         return host_gather(x).astype(np.float64)
 
-    def _outputs_to_host(self, arrays, r):
+    def _outputs_to_host(self, arrays, r, pend=None):
         """Distributed arrays need the per-leaf allgather path (a plain
-        device_get cannot materialise non-addressable shards)."""
+        device_get cannot materialise non-addressable shards).  The
+        optimistic pool dispatch's per-shard capacity flags AND-reduce
+        across the mesh; any shard's overflow redoes the whole batch
+        with the group kernel (same policy as the single-chip driver)."""
+        if pend is not None:
+            okf, redo = pend
+            if not bool(host_gather(okf).all()):
+                out2 = redo()
+                self.last_variant = "group"
+                arrays = (out2.rad, out2.tau) + tuple(arrays)[2:]
         return tuple(host_gather(a).astype(np.float64)[:r]
                      for a in arrays)

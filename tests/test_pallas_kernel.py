@@ -264,22 +264,22 @@ def test_pool_variant_matches_group():
 def test_pool_variant_optimistic_dispatch(monkeypatch):
     """Variant policy (ForwardModel._resolve_variant): turbo batches
     dispatch the pool kernel optimistically with an in-graph capacity
-    flag; a pool overflow falls back to the group kernel with
-    IDENTICAL results (the flag rides the output pull -- no separate
-    plan pass); table mode always runs the group kernel."""
+    flag that is consumed on EVERY batch (rides the batched output
+    pull; no verdict cache of any kind); a pool overflow falls back to
+    the group kernel with IDENTICAL results; table mode always runs
+    the group kernel."""
     from jurassic_tpu.ops.pallas import ega_fused
 
     m, los = _turbo_model_and_los()
     out = m.integrate(los)
     assert m.last_variant == "pool"
-    assert m._variant_cache[id(los.ds)] == "pool_ok"  # checked once
+    assert m._pending_ok is None           # flag consumed, not cached
     # capacity overflow => silent group fallback, same physics (a
     # distinct nlos so the patched capacity gets a fresh jit trace)
     monkeypatch.setattr(ega_fused, "POOL_NPAIR", 2)
     m2, los2 = _turbo_model_and_los(nlos=56)
     out2 = m2.integrate(los2)
     assert m2.last_variant == "group"
-    assert m2._variant_cache[id(los2.ds)] == "group"
     assert np.isfinite(np.asarray(out2.rad)).all()
     monkeypatch.undo()
     # env knob forces the variant (skips the capacity check)
@@ -297,6 +297,40 @@ def test_pool_variant_optimistic_dispatch(monkeypatch):
     lost = mt.trace(atm, limb_workload(ctl, 4))
     mt.integrate(lost)
     assert mt.last_variant == "group"
+
+
+def test_pool_no_stale_verdict_on_id_reuse(monkeypatch):
+    """VERDICT r4 item 3 / ADVICE r4: the round-4 driver cached the
+    pool-capacity verdict by ``id(los.ds)``; CPython recycles ids of
+    freed objects, so a new batch could inherit a dead batch's
+    "pool_ok" and skip the capacity check whose failure mode is SILENT
+    garbage radiances.  The cache is gone -- the in-graph flag is
+    consumed on every dispatch -- and this test replays the exact
+    aliasing scenario: batch A validates ok and is freed (its ids
+    become recyclable), then batch B with an IDENTICAL jit signature
+    overflows the (patched) capacity and must still be detected and
+    re-run through the group kernel."""
+    import gc
+
+    from jurassic_tpu.ops.pallas import ega_fused
+
+    m, los_a = _turbo_model_and_los(nlos=52)
+    m.integrate(los_a)
+    assert m.last_variant == "pool"        # batch A validated ok
+    del los_a
+    gc.collect()                           # ids now recyclable
+    monkeypatch.setattr(ega_fused, "POOL_NPAIR", 2)
+    jax.clear_caches()   # same shapes recompile at the patched capacity
+    _, los_b = _turbo_model_and_los(nlos=52)
+    out_b = m.integrate(los_b)
+    assert m.last_variant == "group"       # overflow caught, no reuse
+    # and the fallback output is the group kernel's, bit for bit
+    monkeypatch.setenv("JURASSIC_PALLAS_VARIANT", "group")
+    ref = m.integrate(los_b)
+    np.testing.assert_array_equal(np.asarray(out_b.rad),
+                                  np.asarray(ref.rad))
+    np.testing.assert_array_equal(np.asarray(out_b.tau),
+                                  np.asarray(ref.tau))
 
 
 def test_turbo_fit_adversarial_row_classes():
