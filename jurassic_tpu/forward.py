@@ -494,13 +494,14 @@ class ForwardModel:
         out = 2 * _round_up_128(max(ctl.nd, 1)) * 4
         sched = 0
         if self.kernel_mode == "pallas" and self.pallas_tbl is not None:
-            from .ops.pallas.ega_fused import POOL_NPAIR
+            from .ops.pallas.ega_fused import POOL_NSLOT
             P = int(self.pallas_tbl.p_ax.shape[-1])
             T = int(self.pallas_tbl.t_ax.shape[-1])
             # one-hot operands + bracketing rows (lo+hi, ~4 concurrent
-            # f32 temps) and the pool compaction/inverse masks
+            # f32 temps) and the pool compaction/inverse masks (the
+            # row-candidate stream is 2x the pair stream)
             sched = S * G * ((P + T) * 4 * 4
-                             + 2 * (min(POOL_NPAIR, P * T) + 8) * 4)
+                             + 4 * (min(POOL_NSLOT, P * T) + 8) * 4)
         return los + streams + out + sched
 
     def _resolve_raypack(self, nr: int) -> int:
@@ -609,12 +610,12 @@ class ForwardModel:
             return
         self._narrated_shapes.add(sig)
         try:
-            from .ops.pallas.ega_fused import (POOL_MAXC, POOL_NPAIR,
+            from .ops.pallas.ega_fused import (POOL_MAXC, POOL_NSLOT,
                                                pool_plan)
             nd_, nc_ = (int(x) for x in jax.jit(
                 partial(pool_plan, self.pallas_tbl))(los))
             print(f"# pool schedule: {sig[0]} rays x {sig[1]} segments: "
-                  f"max {nd_}/{POOL_NPAIR} distinct corner pairs per "
+                  f"max {nd_}/{POOL_NSLOT} distinct table rows per "
                   f"(group, gas), max {nc_}/{POOL_MAXC} cell combos "
                   "per (segment, gas)")
         except Exception as e:       # narration must never break formod

@@ -68,9 +68,12 @@ N_CC = 12           # packed continuum coefficient rows
 RG_MAX = 8          # rays per group = f32 vreg sublane count
 NBUF = 2            # slab double buffering
 SLAB_BUDGET = 8 << 20   # VMEM budget for the corner slabs [bytes]
-POOL_NPAIR = 96     # slot-pool capacity: distinct corner pairs per
-                    # (group, gas) over the whole LOS (physical limb
-                    # scans measure ~40, max ~76 at RG=8)
+POOL_NSLOT = 128    # slot-pool capacity: distinct table ROWS per
+                    # (group, gas) over the whole LOS (a corner pair
+                    # ipt uses rows ipt and ipt+1; physical limb scans
+                    # measure ~67 distinct rows, max 115 at RG=8).
+                    # Exactly 7 bits so slot ids fit the packed combo
+                    # encoding.
 POOL_MAXC = 4       # distinct cell combos per (segment, gas) the pool
                     # kernel evaluates (measured max 3 at RG=8)
 
@@ -377,34 +380,45 @@ def _group_schedule(idx, rg: int):
     return jnp.moveaxis(packed, 1, -1)                  # [NG, S, G, 2, rg]
 
 
-def _pool_schedule(idx, rg: int, npair: int, maxc: int):
-    """Slot-pool schedule: fetch each DISTINCT corner pair of a ray
-    group's whole LOS exactly once.
+def _pool_schedule(idx, rg: int, nslot: int, maxc: int):
+    """Slot-pool schedule: each DISTINCT table ROW of a ray group's
+    whole LOS gets one pool slot, fetched exactly once per group.
 
     A limb LOS is U-shaped (descends to the tangent point, then
     ascends through the same (p, T) cells), so the consecutive-change
     schedule of :func:`_group_schedule` re-fetches every cell at least
     twice per ray, and its per-ray sublane-strided slab DMAs plus the
     neighbour-copy chains dominate the kernel's runtime at small nd.
-    On physical atmospheres a tangent-sorted group traverses only ~40
-    distinct pairs per gas over the WHOLE LOS (vs ~80 consecutive-run
-    fetches), and at any one segment its rays bracket at most 3-4
-    distinct (pair0, pair1) cell combos -- so the kernel can hold every
-    pair in a VMEM pool fetched once per group (contiguous DMAs, no
-    per-segment scheduling at all) and evaluate each segment per
-    DISTINCT combo with pool rows broadcast across the ray sublanes.
+    On physical atmospheres a tangent-sorted group traverses only ~70
+    distinct rows per gas over the WHOLE LOS, and at any one segment
+    its rays bracket at most 3-4 distinct (pair0, pair1) cell combos
+    -- so the kernel holds every row in a VMEM pool and evaluates each
+    segment per DISTINCT combo with pool rows broadcast across the ray
+    sublanes.
+
+    ROW (not pair) slots, round 5: a corner pair ``ipt`` reads rows
+    ``ipt`` and ``ipt + 1``; since integers are dense, row ``v + 1``
+    always sits in the slot right after row ``v``, so a combo still
+    needs only the two PAIR slot ids (s0, s1) and each corner c reads
+    slot ``(c < 2 ? s0 : s1) + (c & 1)``.  Row slots halve the pool
+    VMEM vs pair slots (shared rows stored once) and let the driver
+    materialise the whole pool with ONE XLA row gather instead of
+    ~500 per-pair kernel DMAs per group (whose issue overhead was
+    ~10% of round-4 kernel time).
 
     Returns
 
-      pool_ipt [NG, G, npair] int32 -- HBM pair start rows to fetch
-               (-1 = unused slot);
-      combo    [NG, S, G, maxc] int32 -- packed ``s0 << 15 | s1 << 8 |
-               raymask`` per distinct combo (0 = unused entry), where
-               s0/s1 index the pool and raymask bit r selects group
-               ray r (rg <= 8 keeps the mask inside one byte);
-      ok       bool -- False iff any pool or combo capacity overflowed
-               (caller must then use the "group" variant; the packed
-               streams are garbage in that case).
+      rows  [NG, G, nslot] int32 -- distinct table rows in ascending
+            order (-1 = unused slot); slot j of gas g holds row
+            ``rows[ng, g, j]`` of eps_aug's [PT] axis;
+      combo [NG, S, G, maxc] int32 -- packed ``s0 << 15 | s1 << 8 |
+            raymask`` per distinct combo (0 = unused entry), where
+            s0/s1 are the pair's base ROW slots and raymask bit r
+            selects group ray r (rg <= 8, nslot <= 128 keep the
+            encoding inside 22 bits);
+      ok    bool -- False iff any row or combo capacity overflowed
+            (caller must then use the "group" variant; the packed
+            streams are garbage in that case).
 
     idx: [R, S, G, 2] int32, R a multiple of rg, frozen beyond np.
     """
@@ -414,34 +428,53 @@ def _pool_schedule(idx, rg: int, npair: int, maxc: int):
             .transpose(0, 3, 1, 2, 4)
             .reshape(NG, G, rg * S * 2))
 
-    # --- distinct-pair pool, scatter-free ----------------------------
+    # --- distinct-row pool, scatter-free ------------------------------
     # (jnp.unique's inverse path costs ~0.3 s/call on a v5e at the
     # flagship shape -- 10x the kernel it schedules; everything here is
-    # elementwise + one sort + fused masked reductions instead)
+    # elementwise + one sort + fused masked reductions instead.
+    # The row set is derived in TWO stages: distinct PAIR starts from
+    # the big stream first, then rows {p, p+1} from the tiny compacted
+    # pair array -- sorting the doubled row-candidate stream directly
+    # costs 2x on the dominant [.., V]-wide sort for nothing.)
+    BIGV = jnp.int32(1 << 30)
+    npair = (nslot // 4 * 3) if nslot >= 8 else nslot   # pair slots
     sv = jnp.sort(vals, axis=-1)                       # [NG, G, V]
     newf = jnp.concatenate(
         [jnp.ones_like(sv[..., :1], jnp.bool_),
          sv[..., 1:] != sv[..., :-1]], axis=-1)
-    ndist = jnp.sum(newf, axis=-1)                     # [NG, G]
-    ok = jnp.all(ndist <= npair)
+    ok = jnp.all(jnp.sum(newf, axis=-1) <= npair)
     pos = jnp.cumsum(newf, axis=-1) - 1                # slot of sv value
-    # pool_ipt[j] = the first-occurrence value at slot j (masked max
-    # over the sorted stream; XLA fuses the [.., V, npair] mask into
-    # the reduction, nothing is materialised)
+    # pairs[j] = the first-occurrence value at slot j (masked max over
+    # the sorted stream; XLA fuses the [.., V, npair] mask into the
+    # reduction, nothing is materialised)
     sel = newf & (pos < npair)
     oh = sel[..., None] & (pos[..., None] == jnp.arange(npair))
-    pool_ipt = jnp.max(
+    pairs = jnp.max(
         jnp.where(oh, sv[..., None], -1), axis=-2)     # [NG, G, npair]
-    # inverse (slot per stream value): #distinct pool values <= val - 1
-    le = (pool_ipt[:, :, None, :] >= 0) \
-        & (pool_ipt[:, :, None, :] <= vals[..., None])
+    # rows = distinct of {p, p+1} over the COMPACTED pairs (tiny)
+    pv = jnp.where(pairs >= 0, pairs, BIGV)
+    cand2 = jnp.concatenate([pv, pv + 1], axis=-1)     # [NG, G, 2*npair]
+    sv2 = jnp.sort(cand2, axis=-1)
+    newf2 = jnp.concatenate(
+        [jnp.ones_like(sv2[..., :1], jnp.bool_),
+         sv2[..., 1:] != sv2[..., :-1]], axis=-1)
+    live2 = sv2 < BIGV
+    ok = ok & jnp.all(jnp.sum(newf2 & live2, axis=-1) <= nslot)
+    pos2 = jnp.cumsum((newf2 & live2).astype(jnp.int32), axis=-1) - 1
+    sel2 = newf2 & live2 & (pos2 < nslot)
+    oh2 = sel2[..., None] & (pos2[..., None] == jnp.arange(nslot))
+    rows = jnp.max(
+        jnp.where(oh2, sv2[..., None], -1), axis=-2)   # [NG, G, nslot]
+    # inverse for the PAIR base rows: slot(v) = #distinct rows <= v - 1
+    le = (rows[:, :, None, :] >= 0) \
+        & (rows[:, :, None, :] <= vals[..., None])
     inv = jnp.sum(le, axis=-1, dtype=jnp.int32) - 1    # [NG, G, V]
-    inv = jnp.clip(inv, 0, npair - 1)
+    inv = jnp.clip(inv, 0, nslot - 2)
 
     # --- distinct (pair0, pair1) combos per (group, segment, gas) ----
     # pairwise first-occurrence logic on the rg axis: no sorts at all
     slots = inv.reshape(NG, G, rg, S, 2)
-    key = (slots[..., 0] * npair + slots[..., 1]) \
+    key = (slots[..., 0] * nslot + slots[..., 1]) \
         .transpose(0, 3, 1, 2)                         # [NG, S, G, rg]
     eq = key[..., :, None] == key[..., None, :]        # [.., rg, rg]
     iota_r = jnp.arange(rg, dtype=jnp.int32)
@@ -457,10 +490,10 @@ def _pool_schedule(idx, rg: int, npair: int, maxc: int):
                            -1), axis=-2)               # [.., maxc]
     mask = jnp.sum(jnp.where(onehot, 1 << iota_r[..., None], 0),
                    axis=-2)
-    s0 = jnp.maximum(ck, 0) // npair
-    s1 = jnp.maximum(ck, 0) % npair
+    s0 = jnp.maximum(ck, 0) // nslot
+    s1 = jnp.maximum(ck, 0) % nslot
     combo = jnp.where(ck >= 0, (s0 << 15) | (s1 << 8) | mask, 0)
-    return (pool_ipt.astype(jnp.int32), combo.astype(jnp.int32), ok)
+    return (rows.astype(jnp.int32), combo.astype(jnp.int32), ok)
 
 
 def _sorted_frozen_idx(pt: "PallasTables", los, rg: int):
@@ -485,7 +518,7 @@ def _sorted_frozen_idx(pt: "PallasTables", los, rg: int):
 
 
 def pool_plan(pt: "PallasTables", los, rg: int | None = None):
-    """(max distinct pairs per (group, gas), max cell combos per
+    """(max distinct table ROWS per (group, gas), max cell combos per
     (segment, gas)) for this workload -- jit-friendly traced scalars.
 
     Diagnostic/test helper: the production capacity decision is NOT
@@ -502,7 +535,8 @@ def pool_plan(pt: "PallasTables", los, rg: int | None = None):
     NG = Rp // rg
     vals = (idx.reshape(NG, rg, S, G, 2).transpose(0, 3, 1, 2, 4)
             .reshape(NG, G, rg * S * 2))
-    sv = jnp.sort(vals, axis=-1)
+    cand = jnp.concatenate([vals, vals + 1], axis=-1)
+    sv = jnp.sort(cand, axis=-1)
     ndist = jnp.max(jnp.sum(jnp.concatenate(
         [jnp.ones_like(sv[..., :1]),
          (sv[..., 1:] != sv[..., :-1]).astype(sv.dtype)], -1), axis=-1))
@@ -531,22 +565,24 @@ def dma_schedule_stats(pt: "PallasTables", los, variant: str = "group"):
     Rp = idx.shape[0]
     CH = 128 * RG                         # rays per stats chunk
     if variant == "pool":
-        npair, maxc = min(POOL_NPAIR, PT), min(POOL_MAXC, RG)
+        nslot, maxc = min(POOL_NSLOT, PT), min(POOL_MAXC, RG)
 
         @jax.jit
         def chunk_stats(blk):
-            pool_ipt, _c, _o = _pool_schedule(blk, RG, npair, maxc)
-            return jnp.sum(pool_ipt >= 0)
+            rows, _c, _o = _pool_schedule(blk, RG, nslot, maxc)
+            return jnp.sum(rows >= 0)
 
-        pairs = 0
+        used = 0
         for s in range(0, Rp, CH):
             blk = idx[s:s + CH]
             if blk.shape[0] % RG:        # pad partial tail chunk
                 blk = np.concatenate(
                     [blk, np.repeat(blk[-1:],
                                     RG - blk.shape[0] % RG, axis=0)])
-            pairs += int(chunk_stats(blk))
-        return RG, pairs, 0
+            used += int(chunk_stats(blk))
+        # "pairs" slot of the return: used ROW slots (the bytes model
+        # multiplies by one augmented row, not a 2-row pair)
+        return RG, used, 0
     packed = _group_schedule(jnp.asarray(idx), RG)
     return (RG, int(jnp.sum(packed & 1)),
             int(jnp.sum((packed >> 1) & 1)))
@@ -582,10 +618,10 @@ def pool_compute_model(pt: "PallasTables", los, flags,
     _, idx, _ = _sorted_frozen_idx(pt, los, rg)
     Rp = idx.shape[0]
     NG = Rp // rg
-    npair, maxc = min(POOL_NPAIR, PT), min(POOL_MAXC, rg)
+    nslot, maxc = min(POOL_NSLOT, PT), min(POOL_MAXC, rg)
     # jitted: the eager compaction mask materialises ~GBs at 1k+ rays
     sched = jax.jit(_pool_schedule, static_argnums=(1, 2, 3))
-    _, combo, _ = sched(idx, rg, npair, maxc)
+    _, combo, _ = sched(idx, rg, nslot, maxc)
     combo = np.asarray(combo)                           # [NG, S, G, maxc]
     np_ = np.asarray(los.np_)
     order = np.argsort(np.asarray(jax.device_get(los.tpz)))
@@ -1070,24 +1106,29 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 
 
 def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
-                      NPAIR: int, MAXC: int, flags, ig_co2: int,
+                      NSLOT: int, MAXC: int, flags, ig_co2: int,
                       ig_h2o: int, n_src: int, early_exit: bool,
-                      deg_f: int, deg_i: int):
+                      deg_f: int, deg_i: int, pool_in_vmem: bool):
     """Slot-pool kernel variant (turbo tables only; see
     :func:`_pool_schedule` for the why).
 
-    Structure: a per-group PROLOGUE fetches every distinct corner pair
-    of the group's whole LOS into a VMEM pool -- one contiguous
-    [2, K_aug, Dp] DMA per pair, ~40 per (group, gas) -- and the LOS
-    loop then runs with NO DMAs at all: each (segment, gas) is
-    evaluated once per DISTINCT (pair0, pair1) cell combo (usually
-    exactly one), with the pool rows broadcast across all RG ray
-    sublanes and the per-combo results blended by the precomputed ray
-    bitmask.  This replaces the group kernel's per-ray sublane-strided
-    slab DMAs and neighbour-copy chains, whose issue overhead -- not
-    HBM bytes -- dominates its runtime at production nd (the kernel
-    moves ~17 GB through ~540k small DMAs per flagship call but only
-    achieves ~6% of chip HBM bandwidth).
+    Round-5 structure: the driver pre-gathers the whole pool in HBM
+    with ONE XLA row gather (runs at memory bandwidth), so the kernel
+    has either NO prologue at all (``pool_in_vmem``: the pool block
+    arrives through the pallas pipeline, double-buffered across
+    groups) or a single whole-pool DMA per group (large-G fallback
+    where double buffering would exceed VMEM).  The LOS loop runs with
+    no DMAs: each (segment, gas) is evaluated once per DISTINCT
+    (pair0, pair1) cell combo with pool rows broadcast across all RG
+    ray sublanes.
+
+    Combo dispatch, round 5: combo 0 always exists (every active
+    segment brackets SOME cell), so it is evaluated branch-free and
+    its result used directly; only the ~20% of (segment, gas) sites
+    with a second combo enter a ``pl.when`` region (and the ~1% with a
+    third enter one more).  Round 4 ran four ``pl.when`` + accumulator
+    round trips per (segment, gas) unconditionally, which cost ~3x the
+    evaluation itself (ablation: 30 ms of 90 at the flagship).
 
     Physics is shared with the group kernel (_continua_bds,
     _turbo_corner, _source_rows), and the per-lane arithmetic is
@@ -1098,33 +1139,41 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
     AUX = J_f + J_i
     ROW_T, ROW_P, ROW_VALID = AUX + 9, AUX + 10, AUX + 11
 
-    def kernel(np_ref, pool_ref, combo_ref, tsm_ref, seg_ref, cc_ref,
-               sr_ref, cm_ref, eps_hbm, *out_and_scratch):
+    def kernel(np_ref, combo_ref, tsm_ref, seg_ref, cc_ref,
+               sr_ref, cm_ref, pool_in, *out_and_scratch):
         if early_exit:
-            rad_ref, tau_ref, send_ref, pool, sem, acc = out_and_scratch
+            rad_ref, tau_ref, send_ref, *scratch = out_and_scratch
         else:
-            rad_ref, tau_ref, pool, sem, acc = out_and_scratch
+            rad_ref, tau_ref, *scratch = out_and_scratch
+        if pool_in_vmem:
+            (acc,) = scratch
+            pool = pool_in           # [1, G * NSLOT, K_aug, Dp] block
+        else:
+            pool_s, sem, acc = scratch
+            pltpu.make_async_copy(
+                pool_in.at[pl.program_id(0)], pool_s, sem).start()
+            pltpu.make_async_copy(
+                pool_in.at[pl.program_id(0)], pool_s, sem).wait()
+            pool = None
         nb = np_ref[0, 0, 0]
         for r in range(1, RG):
             nb = jnp.maximum(nb, np_ref[0, 0, r])
         nb = jnp.clip(nb, 1, S)
 
-        # --- prologue: fetch the whole pool (used slots only) ---------
-        def pcopy(g, j, ipt):
-            return pltpu.make_async_copy(
-                eps_hbm.at[g, pl.ds(ipt, 2)], pool.at[g, j],
-                sem.at[g, j])
+        def prow(g, sl, off):
+            """Augmented row ``off`` of pool slot ``sl`` of gas g:
+            [Dp], broadcast across ray sublanes by the caller."""
+            if pool_in_vmem:
+                return pool[0, g * NSLOT + sl, off, :]
+            return pool_s[g * NSLOT + sl, off, :]
 
-        if os.environ.get("JURASSIC_POOL_ABLATE", "") not in ("nopro", "nosched"):
-            for phase in (0, 1):
-                for g in range(G):
-                    for j in range(NPAIR):
-                        ipt = pool_ref[0, 0, g * NPAIR + j]
-
-                        @pl.when(ipt >= 0)
-                        def _(g=g, j=j, ipt=ipt, phase=phase):
-                            dma = pcopy(g, j, ipt)
-                            dma.start() if phase == 0 else dma.wait()
+        def pblk(g, sl):
+            """The whole augmented slab of pool slot ``sl``:
+            [K_aug, Dp] via ONE dynamic slice (row reads then index
+            statically into the value -- see combo_eval)."""
+            if pool_in_vmem:
+                return pool[0, g * NSLOT + sl]
+            return pool_s[g * NSLOT + sl]
 
         iota_ray = jax.lax.broadcasted_iota(jnp.int32, (RG, Dp), 0)
 
@@ -1183,53 +1232,87 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
 
                 def combo_eval(s0, s1, g=g, target=target, eta_t=eta_t,
                                u_seg=u_seg, t_s=t_s, p_s=p_s):
-                    """(eps_t, okl) of the cell combo (pool slots s0,
-                    s1) for ALL RG rays (pool rows broadcast across
-                    sublanes)."""
-                    eps_c = []
-                    okl = cm_ref[g]
-                    for c in range(4):
-                        sj = s0 if c < 2 else s1
-                        c2 = c & 1
-                        eps_c.append(_turbo_corner(
-                            lambda off, sj=sj, c2=c2, g=g:
-                                pool[g, sj, c2, off, :],
-                            J_f, J_i, target, eta_t, u_seg))
-                        okl = okl * pool[g, sj, c2, ROW_VALID, :]
+                    """(eps_t, okl) of the cell combo (pair base slots
+                    s0, s1) for ALL RG rays (pool rows broadcast
+                    across sublanes).  Corner c reads row slot
+                    (c < 2 ? s0 : s1) + (c & 1): _pool_schedule packs
+                    rows densely, so a pair's second row always sits
+                    in the next slot.
+
+                    The 4 corners evaluate as ONE [4, RG, Dp] batched
+                    _turbo_corner call: the Clenshaw recurrences are
+                    loop-carried dependency chains, so a per-corner
+                    evaluation is ALU-latency-bound on single vregs --
+                    corner-stacking gives the scheduler 4 independent
+                    chains.  Each corner's augmented rows are pulled
+                    with ONE whole-slab dynamic slice; the ~32
+                    per-row reads are then STATIC offsets into the
+                    sliced value -- a dynamically indexed [Dp] row
+                    load costs ~30x a static one on Mosaic (measured:
+                    0.9 us vs 0.03 us), and round 4 issued 128 of
+                    them per combo evaluation."""
+                    slots = [s0, s0 + 1, s1, s1 + 1]
+                    blk4 = jnp.stack(
+                        [pblk(g, sj) for sj in slots])   # [4, K_aug, Dp]
+
+                    def get4(off):
+                        return blk4[:, off][:, None, :]  # [4, 1, Dp]
+
+                    eps4 = _turbo_corner(get4, J_f, J_i,
+                                         target[None], eta_t[None],
+                                         u_seg[None])    # [4, RG, Dp]
+                    vld = get4(ROW_VALID)
+                    okl = cm_ref[g] * vld[0, 0] * vld[1, 0] \
+                        * vld[2, 0] * vld[3, 0]
                     # bilinear: t within each p row, then p
                     # (jr_common.h:259-265)
-                    t00 = pool[g, s0, 0, ROW_T, :]
-                    t01 = pool[g, s0, 1, ROW_T, :]
-                    t10 = pool[g, s1, 0, ROW_T, :]
-                    t11 = pool[g, s1, 1, ROW_T, :]
-                    p0 = pool[g, s0, 0, ROW_P, :]
-                    p1 = pool[g, s1, 0, ROW_P, :]
-                    eps_p0 = _c01(_lipg(t00, eps_c[0], t01,
-                                        eps_c[1], t_s))
-                    eps_p1 = _c01(_lipg(t10, eps_c[2], t11,
-                                        eps_c[3], t_s))
+                    t4 = get4(ROW_T)
+                    p0 = blk4[0, ROW_P]
+                    p1 = blk4[2, ROW_P]
+                    eps_p0 = _c01(_lipg(t4[0, 0], eps4[0], t4[1, 0],
+                                        eps4[1], t_s))
+                    eps_p1 = _c01(_lipg(t4[2, 0], eps4[2], t4[3, 0],
+                                        eps4[3], t_s))
                     return _c01(_lipg(p0, eps_p0, p1, eps_p1, p_s)), okl
 
-                if ABLATE == "onecombo":
-                    v = combo_ref[0, 0, (s * G + g) * MAXC]
-                    eps_t, okl = combo_eval(v >> 15, (v >> 8) & 127)
+                # combo 0: branch-free direct evaluation (always used)
+                v0 = combo_ref[0, 0, (s * G + g) * MAXC]
+                eps0, okl0 = combo_eval(v0 >> 15, (v0 >> 8) & 127)
+                if ABLATE == "onecombo" or MAXC == 1:
+                    eps_t, okl = eps0, okl0
                 else:
-                    acc[0, :, :] = jnp.zeros((RG, Dp), jnp.float32)
-                    acc[1, :, :] = jnp.zeros((RG, Dp), jnp.float32)
-                    for k in range(MAXC):
-                        v = combo_ref[0, 0, (s * G + g) * MAXC + k]
+                    # extra combos (~20% of sites have a 2nd, ~1% a
+                    # 3rd): pl.when regions accumulate into scratch;
+                    # rays owned by combo 0 never read the (possibly
+                    # stale) accumulator, so it needs zeroing only
+                    # inside the taken branch
+                    v1 = combo_ref[0, 0, (s * G + g) * MAXC + 1]
 
-                        @pl.when(v != 0)
-                        def _(v=v, combo_eval=combo_eval):
-                            eps_t, okl = combo_eval(v >> 15,
-                                                    (v >> 8) & 127)
-                            ray_in = ((v >> iota_ray) & 1) != 0
-                            acc[0, :, :] = acc[0, :, :] + jnp.where(
-                                ray_in, eps_t, 0.0)
-                            acc[1, :, :] = acc[1, :, :] + jnp.where(
-                                ray_in, okl, 0.0)
-                    eps_t = acc[0, :, :]
-                    okl = acc[1, :, :]
+                    @pl.when(v1 != 0)
+                    def _(v1=v1, combo_eval=combo_eval):
+                        e1, o1 = combo_eval(v1 >> 15, (v1 >> 8) & 127)
+                        r1 = ((v1 >> iota_ray) & 1) != 0
+                        acc[0, :, :] = jnp.where(r1, e1, 0.0)
+                        acc[1, :, :] = jnp.where(r1, o1, 0.0)
+                    if MAXC > 2:
+                        v2 = combo_ref[0, 0, (s * G + g) * MAXC + 2]
+
+                        @pl.when(v2 != 0)
+                        def _(v2=v2, combo_eval=combo_eval):
+                            for k, vk in [(2, v2)] + [
+                                    (k, combo_ref[0, 0,
+                                                  (s * G + g) * MAXC + k])
+                                    for k in range(3, MAXC)]:
+                                ek, ok_ = combo_eval(vk >> 15,
+                                                     (vk >> 8) & 127)
+                                rk = ((vk >> iota_ray) & 1) != 0
+                                acc[0, :, :] = acc[0, :, :] + jnp.where(
+                                    rk, ek, 0.0)
+                                acc[1, :, :] = acc[1, :, :] + jnp.where(
+                                    rk, ok_, 0.0)
+                    ray0 = ((v0 >> iota_ray) & 1) != 0
+                    eps_t = jnp.where(ray0, eps0, acc[0, :, :])
+                    okl = jnp.where(ray0, okl0, acc[1, :, :])
                 opaque = tp < np.float32(TAU_OPAQUE)
                 factor = (1.0 - eps_t) / jnp.where(opaque, 1.0, tp)
                 factor = jnp.where(okl > 0, factor, 1.0)
@@ -1254,8 +1337,8 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
             rad, tau, _ = jax.lax.fori_loop(0, nb, body, (rad0, tau0, tp0))
         else:
             # same exact exit as the group kernel (see its comment);
-            # with all DMAs done in the prologue there is no lookahead
-            # to drain, so the while_loop is the whole story
+            # with the pool pre-gathered there is no lookahead to
+            # drain, so the while_loop is the whole story
             dead_lane = jnp.max(cm_ref[:, :], axis=0) <= 0.0
 
             def cond(carry):
@@ -1313,7 +1396,7 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     ``variant``: "group" = per-segment double-buffered slab DMAs with
     neighbour reuse (any table mode); "pool" = whole-LOS slot pool with
     per-combo evaluation (turbo mode only; the caller must have checked
-    :func:`pool_plan` against POOL_NPAIR/POOL_MAXC -- an overflowing
+    :func:`pool_plan` against POOL_NSLOT/POOL_MAXC -- an overflowing
     workload yields garbage under "pool", which is why the choice is a
     static driver decision, not an in-kernel branch).
     """
@@ -1368,30 +1451,55 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     ]
 
     if variant == "pool":
-        NPAIR = min(POOL_NPAIR, PT)
+        NSLOT = min(POOL_NSLOT, PT)
         MAXC = min(POOL_MAXC, RG)
         if os.environ.get("JURASSIC_POOL_ABLATE") == "nosched":
-            pool_ipt = jnp.zeros((NG, G, NPAIR), jnp.int32)
+            rows = jnp.zeros((NG, G, NSLOT), jnp.int32)
             combo = jnp.zeros((NG, S, G, MAXC), jnp.int32)
             ok = jnp.bool_(True)
         else:
-            pool_ipt, combo, ok = _pool_schedule(idx, RG, NPAIR, MAXC)
-        kernel = _make_pool_kernel(G, S, Dp, W, RG, NPAIR, MAXC,
+            rows, combo, ok = _pool_schedule(idx, RG, NSLOT, MAXC)
+        # pre-gather the whole pool in HBM: ONE leading-axis row
+        # gather at memory bandwidth (~1 ms flagship) replaces the
+        # ~500 per-pair kernel DMAs per group whose issue overhead was
+        # ~10% of round-4 kernel time; unused slots clamp to row 0
+        # (valid data, never referenced by any combo)
+        gid = jnp.where(rows >= 0,
+                        rows + (jnp.arange(G, dtype=jnp.int32)
+                                * PT)[None, :, None], 0)
+        pool_hbm = jnp.take(pt.eps_aug.reshape(G * PT, K_aug, Dp),
+                            gid.reshape(-1), axis=0
+                            ).reshape(NG, G * NSLOT, K_aug, Dp)
+        pool_bytes = G * NSLOT * K_aug * Dp * 4
+        # pipeline the pool block through VMEM (double-buffered across
+        # groups) when it fits; one whole-pool DMA per group otherwise
+        # (large G or wide channel shards)
+        other = 2 * S * RG * max(F_SEG, 128) * 4 + pt.sr.size * 4 \
+            + 6 * 1024 * 1024
+        pool_in_vmem = 2 * pool_bytes + other <= 100 * 1024 * 1024
+        kernel = _make_pool_kernel(G, S, Dp, W, RG, NSLOT, MAXC,
                                    tuple(flags), ig_co2, ig_h2o, n_src,
-                                   early_exit, pt.deg_f, pt.deg_i)
+                                   early_exit, pt.deg_f, pt.deg_i,
+                                   pool_in_vmem)
         # ray-minor stream [NG, S, RG, F]: one (RG, F) vreg tile per
         # segment (see the field-extraction comment in the kernel)
         seg4 = seg.reshape(NG, RG, S, F_SEG).transpose(0, 2, 1, 3)
-        pool_bytes = G * NPAIR * 2 * K_aug * Dp * 4
-        vlim = pool_bytes + 2 * S * RG * 128 * 4 + pt.sr.size * 4 \
-            + 6 * 1024 * 1024
+        scratch = [pltpu.VMEM((2, RG, Dp), jnp.float32)]
+        if pool_in_vmem:
+            pool_spec = pl.BlockSpec((1, G * NSLOT, K_aug, Dp),
+                                     lambda r: (r, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            vlim = 2 * pool_bytes + other
+        else:
+            pool_spec = pl.BlockSpec(memory_space=pl.ANY)
+            scratch = [pltpu.VMEM((G * NSLOT, K_aug, Dp), jnp.float32),
+                       pltpu.SemaphoreType.DMA] + scratch
+            vlim = pool_bytes + other
         outs = pl.pallas_call(
             kernel,
             grid=(NG,),
             in_specs=[
                 pl.BlockSpec((1, 1, RG), lambda r: (r, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, G * NPAIR), lambda r: (r, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, S * G * MAXC), lambda r: (r, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -1399,20 +1507,15 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, S, RG, F_SEG), lambda r: (r, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-            ] + common_specs[1:],
+            ] + common_specs[1:-1] + [pool_spec],
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((G, NPAIR, 2, K_aug, Dp), jnp.float32),
-                pltpu.SemaphoreType.DMA((G, NPAIR)),
-                pltpu.VMEM((2, RG, Dp), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=int(vlim)),
             interpret=interpret,
-        )(np_grp, pool_ipt.reshape(NG, 1, G * NPAIR),
-          combo.reshape(NG, 1, S * G * MAXC), t_smem, seg4, cc_rows,
-          pt.sr, pt.chan_mask, pt.eps_aug)
+        )(np_grp, combo.reshape(NG, 1, S * G * MAXC), t_smem, seg4,
+          cc_rows, pt.sr, pt.chan_mask, pool_hbm)
     else:
         sched = _group_schedule(idx, RG).reshape(NG, 1, S * G * 2 * RG)
         kernel = _make_kernel(G, S, K, K_aug, Dp, W, RG, tuple(flags),

@@ -276,7 +276,7 @@ def test_pool_variant_optimistic_dispatch(monkeypatch):
     assert m._pending_ok is None           # flag consumed, not cached
     # capacity overflow => silent group fallback, same physics (a
     # distinct nlos so the patched capacity gets a fresh jit trace)
-    monkeypatch.setattr(ega_fused, "POOL_NPAIR", 2)
+    monkeypatch.setattr(ega_fused, "POOL_NSLOT", 2)
     m2, los2 = _turbo_model_and_los(nlos=56)
     out2 = m2.integrate(los2)
     assert m2.last_variant == "group"
@@ -319,7 +319,7 @@ def test_pool_no_stale_verdict_on_id_reuse(monkeypatch):
     assert m.last_variant == "pool"        # batch A validated ok
     del los_a
     gc.collect()                           # ids now recyclable
-    monkeypatch.setattr(ega_fused, "POOL_NPAIR", 2)
+    monkeypatch.setattr(ega_fused, "POOL_NSLOT", 2)
     jax.clear_caches()   # same shapes recompile at the patched capacity
     _, los_b = _turbo_model_and_los(nlos=52)
     out_b = m.integrate(los_b)
