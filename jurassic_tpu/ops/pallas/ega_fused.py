@@ -1133,7 +1133,13 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
     Physics is shared with the group kernel (_continua_bds,
     _turbo_corner, _source_rows), and the per-lane arithmetic is
     bitwise identical: a combo's pool rows hold exactly the bits the
-    group kernel's per-ray slab copies held."""
+    group kernel's per-ray slab copies held.
+
+    ``Dp`` is the per-grid-step CHANNEL BLOCK width: the grid is
+    (ray groups, channel blocks), so wide spectral batches (nd >=
+    1024) and reference-capacity gas counts (NG = 30, jurassic.h:138)
+    bound their VMEM by the block width instead of the full lane
+    axis; at one block the second grid axis degenerates away."""
     F_SEG = N_SEG + W + G
     J_f, J_i = deg_f + 1, deg_i + 1
     AUX = J_f + J_i
@@ -1150,10 +1156,11 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
             pool = pool_in           # [1, G * NSLOT, K_aug, Dp] block
         else:
             pool_s, sem, acc = scratch
-            pltpu.make_async_copy(
-                pool_in.at[pl.program_id(0)], pool_s, sem).start()
-            pltpu.make_async_copy(
-                pool_in.at[pl.program_id(0)], pool_s, sem).wait()
+            r0 = pl.program_id(0)
+            cb = pl.program_id(1)
+            src = pool_in.at[r0, :, :, pl.ds(cb * Dp, Dp)]
+            pltpu.make_async_copy(src, pool_s, sem).start()
+            pltpu.make_async_copy(src, pool_s, sem).wait()
             pool = None
         nb = np_ref[0, 0, 0]
         for r in range(1, RG):
@@ -1470,44 +1477,76 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         pool_hbm = jnp.take(pt.eps_aug.reshape(G * PT, K_aug, Dp),
                             gid.reshape(-1), axis=0
                             ).reshape(NG, G * NSLOT, K_aug, Dp)
-        pool_bytes = G * NSLOT * K_aug * Dp * 4
-        # pipeline the pool block through VMEM (double-buffered across
-        # groups) when it fits; one whole-pool DMA per group otherwise
-        # (large G or wide channel shards)
-        other = 2 * S * RG * max(F_SEG, 128) * 4 + pt.sr.size * 4 \
-            + 6 * 1024 * 1024
-        pool_in_vmem = 2 * pool_bytes + other <= 100 * 1024 * 1024
-        kernel = _make_pool_kernel(G, S, Dp, W, RG, NSLOT, MAXC,
+        # --- channel-block resolution: the grid is (groups, channel
+        # blocks); DpB bounds the VMEM-resident pool/sr/output slices
+        # so wide spectral batches (nd >= 1024) and NG = 30 gas counts
+        # compile within the chip's VMEM.  Prefer the pipelined
+        # (double-buffered BlockSpec) pool; fall back to one
+        # whole-pool DMA per (group, block) when even one block's
+        # double buffer will not fit (large G).
+        n_src_rows = pt.sr.shape[0]
+        BUDGET = int(float(os.environ.get(
+            "JURASSIC_POOL_VMEM_MB", "100")) * 1024 * 1024)
+
+        def sizes(DpB):
+            pool_b = G * NSLOT * K_aug * DpB * 4
+            other = 2 * S * RG * max(F_SEG, 128) * 4 \
+                + n_src_rows * DpB * 4 + 6 * 1024 * 1024
+            return pool_b, other
+
+        NCB = 1
+        while Dp // NCB > LANE and (lambda p, o: 2 * p + o)(
+                *sizes(Dp // NCB)) > BUDGET:
+            NCB *= 2
+        DpB = Dp // NCB
+        pool_bytes, other = sizes(DpB)
+        pool_in_vmem = 2 * pool_bytes + other <= BUDGET
+        N_CC_W = cc_rows.shape[0]
+        # channel-blocked out specs (at NCB = 1 these match the group
+        # kernel's whole-lane blocks)
+        out_specs = [pl.BlockSpec((1, RG, DpB),
+                                  lambda r, cb: (r, 0, cb))
+                     for _ in out_specs]
+        kernel = _make_pool_kernel(G, S, DpB, W, RG, NSLOT, MAXC,
                                    tuple(flags), ig_co2, ig_h2o, n_src,
                                    early_exit, pt.deg_f, pt.deg_i,
                                    pool_in_vmem)
         # ray-minor stream [NG, S, RG, F]: one (RG, F) vreg tile per
         # segment (see the field-extraction comment in the kernel)
         seg4 = seg.reshape(NG, RG, S, F_SEG).transpose(0, 2, 1, 3)
-        scratch = [pltpu.VMEM((2, RG, Dp), jnp.float32)]
+        scratch = [pltpu.VMEM((2, RG, DpB), jnp.float32)]
         if pool_in_vmem:
-            pool_spec = pl.BlockSpec((1, G * NSLOT, K_aug, Dp),
-                                     lambda r: (r, 0, 0, 0),
+            pool_spec = pl.BlockSpec((1, G * NSLOT, K_aug, DpB),
+                                     lambda r, cb: (r, 0, 0, cb),
                                      memory_space=pltpu.VMEM)
             vlim = 2 * pool_bytes + other
         else:
             pool_spec = pl.BlockSpec(memory_space=pl.ANY)
-            scratch = [pltpu.VMEM((G * NSLOT, K_aug, Dp), jnp.float32),
+            scratch = [pltpu.VMEM((G * NSLOT, K_aug, DpB), jnp.float32),
                        pltpu.SemaphoreType.DMA] + scratch
             vlim = pool_bytes + other
         outs = pl.pallas_call(
             kernel,
-            grid=(NG,),
+            grid=(NG, NCB),
             in_specs=[
-                pl.BlockSpec((1, 1, RG), lambda r: (r, 0, 0),
+                pl.BlockSpec((1, 1, RG), lambda r, cb: (r, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, S * G * MAXC), lambda r: (r, 0, 0),
+                pl.BlockSpec((1, 1, S * G * MAXC),
+                             lambda r, cb: (r, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, S * RG), lambda r: (r, 0, 0),
+                pl.BlockSpec((1, 1, S * RG), lambda r, cb: (r, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, S, RG, F_SEG), lambda r: (r, 0, 0, 0),
+                pl.BlockSpec((1, S, RG, F_SEG),
+                             lambda r, cb: (r, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-            ] + common_specs[1:-1] + [pool_spec],
+                pl.BlockSpec((N_CC_W, DpB), lambda r, cb: (0, cb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_src_rows, DpB), lambda r, cb: (0, cb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, DpB), lambda r, cb: (0, cb),
+                             memory_space=pltpu.VMEM),
+                pool_spec,
+            ],
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch,
