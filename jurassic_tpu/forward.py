@@ -201,7 +201,10 @@ def rt_pallas_core(pt, cc_rows, sr, st, nu, los: LosData, tsurf,
     res = RtOut(rad=rad, tau=tau)
     if variant == "pool!":
         # in-graph capacity flag, shaped [1, 1] so the shard-mapped
-        # driver can give every mesh shard its own block
+        # driver can give every mesh shard its own block; hybrid turbo
+        # tables (n_bad > 0) add the per-(ray, channel) taint map
+        if len(out) > 3:
+            return res, out[2].reshape(1, 1), out[3]
         return res, out[2].reshape(1, 1)
     return res
 
@@ -322,9 +325,11 @@ class ForwardModel:
                                        "fast")
         self.kernel_mode = "exact" if not self.use_fast else "jax"
         self.pallas_tbl = None
+        self.pallas_tbl_table = None     # exact backing for hybrid turbo
         self.turbo_stats = None
-        self._pending_ok = None          # (ok flag, group-redo fn) of the
-        #                                  last optimistic pool dispatch
+        self._pending_ok = None          # (ok flag, taint | None, redo)
+        #                                  of the last optimistic pool
+        #                                  dispatch
         self._narrated_shapes: set = set()
         self.last_variant = None         # variant of the last dispatch
         # USETPU dispatch (the reference's useGPU -1/0/1 = "if possible
@@ -381,19 +386,51 @@ class ForwardModel:
                     # kernels' linear-in-u chords (the documented
                     # ~1-2e-3 contract, turbo_fit.TurboStats) -- a
                     # pathological high-curvature table must not pass
-                    # on fit quality alone (ADVICE r3)
-                    bad = (self.turbo_stats is not None
-                           and (max(self.turbo_stats.max_fwd_err,
-                                    self.turbo_stats.max_inv_err) > 2e-3
-                                or self.turbo_stats.max_chord_dev > 3e-3))
+                    # on fit quality alone (ADVICE r3).  Round 5: the
+                    # stats cover GOOD rows only; rows failing the
+                    # per-row gate are marked (n_bad) and handled by
+                    # the PER-ROW HYBRID -- tainted lanes re-evaluate
+                    # through the exact table kernel -- as long as
+                    # their fraction stays under
+                    # JURASSIC_TURBO_HYBRID_MAX (default 5%); past
+                    # that the whole config demotes as before
+                    # (VERDICT r4 item 6).
+                    import os
+                    st = self.turbo_stats
+                    n_bad = (self.pallas_tbl.n_bad
+                             if self.pallas_tbl is not None else 0)
+                    frac_bad = (n_bad / max(st.rows, 1)
+                                if st is not None else 0.0)
+                    hyb_max = float(os.environ.get(
+                        "JURASSIC_TURBO_HYBRID_MAX", "0.05"))
+                    bad = (st is not None
+                           and (max(st.max_fwd_err,
+                                    st.max_inv_err) > 2e-3
+                                or st.max_chord_dev > 3e-3
+                                or frac_bad > hyb_max))
+                    if not bad and n_bad > 0:
+                        from .ops.pallas import build_pallas_tables
+                        self.pallas_tbl_table = build_pallas_tables(
+                            fast_tables, pallas_n_chan)
+                        if self.pallas_tbl_table is None:
+                            bad = True       # no exact backing: demote
+                        else:
+                            print(f"# turbo hybrid: {n_bad} of "
+                                  f"{st.rows} rows failed the per-row "
+                                  f"fit gate (pass rate "
+                                  f"{1 - frac_bad:.2%}); tainted lanes "
+                                  "re-evaluate through the table "
+                                  "kernel")
                     if bad and ctl.kernel == "turbo":
                         raise ValueError(
                             "KERNEL = turbo: Chebyshev fit validation "
-                            f"failed ({self.turbo_stats}); these tables "
+                            f"failed ({self.turbo_stats}, "
+                            f"bad rows {n_bad}); these tables "
                             "need KERNEL = pallas")
                     if bad:
                         self.pallas_tbl = None
                         self.turbo_stats = None
+                        self.pallas_tbl_table = None
                 if self.pallas_tbl is None:
                     from .ops.pallas import build_pallas_tables
                     self.pallas_tbl = build_pallas_tables(fast_tables,
@@ -471,7 +508,7 @@ class ForwardModel:
                 p_ax=np.asarray(pt.p_ax), t_ax=np.asarray(pt.t_ax),
                 np_u=np.asarray(pt.np_u), nt_u=np.asarray(pt.nt_u),
                 k_rows=pt.k_rows, d_true=pt.d_true, n_chan=pt.n_chan,
-                deg_f=pt.deg_f, deg_i=pt.deg_i,
+                deg_f=pt.deg_f, deg_i=pt.deg_i, n_bad=pt.n_bad,
                 stats=np.asarray(list(stats), np.float64))
         return pt, stats
 
@@ -581,19 +618,38 @@ class ForwardModel:
     def _integrate_pallas(self, fn, los: LosData) -> RtOut:
         """Variant-resolved Pallas dispatch: ``fn(variant)`` runs the
         jitted kernel; records the optimistic pool dispatch's capacity
-        flag and a group-kernel redo closure in ``self._pending_ok``
-        for deferred consumption at the output pull, and
+        flag, the hybrid taint map (when the turbo tables carry
+        bad-fit rows) and a redo closure in ``self._pending_ok`` for
+        deferred consumption at the output pull, and
         ``self.last_variant`` for observability."""
         var = self._resolve_variant(los)
         self._pending_ok = None
         if var == "pool!":
             self._narrate_schedule(los)
-            out, okf = fn("pool!")
+            r = fn("pool!")
+            out, okf = r[0], r[1]
+            taintf = r[2] if len(r) > 2 else None
             self.last_variant = "pool"
-            self._pending_ok = (okf, lambda: fn("group"))
+            # hybrid: the redo is the EXACT table kernel (backs both a
+            # capacity overflow and the taint splice); pure turbo
+            # falls back to its own group form
+            redo = (self._table_redo(los) if taintf is not None
+                    else (lambda: fn("group")))
+            self._pending_ok = (okf, taintf, redo)
             return out
         self.last_variant = "pool" if var == "pool" else "group"
         return fn(var)
+
+    def _table_redo(self, los: LosData):
+        """Exact-table-kernel dispatch closure for the hybrid splice
+        (same group-kernel path KERNEL = pallas runs)."""
+        return lambda: rt_integrate_pallas(
+            self.pallas_tbl_table, self.cc_rows, self.sr, self.st,
+            self.nu, los, los.tsurf, self.flags, self.ig_co2,
+            self.ig_h2o, bool(self.ctl.write_bbt),
+            self.pallas_interpret,
+            early_exit=(True if self.ctl.early_exit else None),
+            variant="group")
 
     def _narrate_schedule(self, los: LosData) -> None:
         """One-line pool-schedule occupancy narration per workload
@@ -642,10 +698,25 @@ class ForwardModel:
         out = self._integrate_deferred(los)
         pend = self._pop_pending_ok()
         if pend is not None:
-            okf, redo = pend
-            if not bool(self._to_host(okf).all()):
+            okf, taintf, redo = pend
+            pulled = self._to_host(okf if taintf is None
+                                   else jnp.concatenate(
+                                       [okf.ravel().astype(jnp.float32),
+                                        taintf.ravel()]))
+            if taintf is None:
+                ok, taint = bool(pulled.all()), None
+            else:
+                ok = bool(pulled[0] > 0.5)
+                taint = pulled[1:].reshape(taintf.shape) > 0.5
+            if not ok:
                 out = redo()
                 self.last_variant = "group"
+            elif taint is not None and taint.any():
+                out2 = redo()
+                tm = jnp.asarray(taint)
+                out = RtOut(rad=jnp.where(tm, out2.rad, out.rad),
+                            tau=jnp.where(tm, out2.tau, out.tau))
+                self.last_variant = "pool+hybrid"
         return out
 
     def _integrate_deferred(self, los: LosData) -> RtOut:
@@ -810,22 +881,41 @@ class ForwardModel:
         pays fixed latency (the analogue of the reference's one D2H obs
         copy per package, GPUdrivers.cu:244).
 
-        ``pend``: the (capacity flag, group-redo fn) of an optimistic
-        pool dispatch.  The flag joins the same transfer; on the (never
-        physically observed) overflow the batch is re-integrated with
-        the group kernel and re-pulled -- the failure mode of a missed
-        check is silent garbage, so the flag is consumed EVERY call."""
+        ``pend``: the (capacity flag, hybrid taint | None, redo fn) of
+        an optimistic pool dispatch.  Both flags join the same
+        transfer; on the (never physically observed) overflow the
+        batch is re-integrated through the redo path, and tainted
+        hybrid lanes are spliced from the exact table kernel -- the
+        failure mode of a missed check is silent garbage, so the
+        flags are consumed EVERY call."""
         # np.array (not asarray): device_get may hand back zero-copy
         # read-only buffers, and formod mutates the outputs in place
         if pend is not None:
-            okf, redo = pend
-            pulled = jax.device_get(tuple(arrays) + (okf,))
-            if bool(np.asarray(pulled[-1]).all()):
+            okf, taintf, redo = pend
+            n = len(tuple(arrays))
+            extra = (okf,) + (() if taintf is None else (taintf,))
+            pulled = jax.device_get(tuple(arrays) + extra)
+            ok = bool(np.asarray(pulled[n]).all())
+            taint = (None if taintf is None
+                     else np.asarray(pulled[n + 1]) > 0.5)
+            if ok and (taint is None or not taint.any()):
                 return tuple(np.array(a[:r], np.float64)
-                             for a in pulled[:-1])
-            out2 = redo()                 # pool overflow: group re-run
-            self.last_variant = "group"
-            arrays = (out2.rad, out2.tau) + tuple(arrays)[2:]
+                             for a in pulled[:n])
+            out2 = redo()     # overflow or tainted lanes: exact re-run
+            rad2, tau2 = (np.array(x, np.float64) for x in
+                          jax.device_get((out2.rad, out2.tau)))
+            host = [np.array(a, np.float64) for a in pulled[:n]]
+            if ok and taint is not None:
+                host[0][taint] = rad2[taint]
+                host[1][taint] = tau2[taint]
+                self.last_variant = "pool+hybrid"
+                print(f"# turbo hybrid: {int(taint.sum())} of "
+                      f"{taint.size} lanes re-evaluated through the "
+                      "table kernel")
+            else:
+                host[0], host[1] = rad2, tau2
+                self.last_variant = "group"
+            return tuple(a[:r] for a in host)
         return tuple(np.array(a[:r], np.float64)
                      for a in jax.device_get(arrays))
 

@@ -115,6 +115,10 @@ class PallasTables(NamedTuple):
     #                       (Chebyshev-compressed rows, turbo_fit.py)
     deg_f: int = 0        # turbo: forward fit degree (static)
     deg_i: int = 0        # turbo: inverse fit degree (static)
+    n_bad: int = 0        # turbo: rows whose per-row fit failed the
+    #                       tolerance (ROW_VALID = 2.0 marks; > 0
+    #                       switches the pool kernel to hybrid-taint
+    #                       output, turbo_fit.build_turbo_tables)
 
 
 jax.tree_util.register_pytree_node(
@@ -122,7 +126,7 @@ jax.tree_util.register_pytree_node(
     lambda pt: ((pt.eps_aug, pt.sr, pt.chan_mask, pt.p_ax, pt.t_ax,
                  pt.np_u, pt.nt_u),
                 (pt.k_rows, pt.d_true, pt.n_chan, pt.mode,
-                 pt.deg_f, pt.deg_i)),
+                 pt.deg_f, pt.deg_i, pt.n_bad)),
     lambda aux, ch: PallasTables(*ch, *aux))
 
 
@@ -529,7 +533,7 @@ def pool_plan(pt: "PallasTables", los, rg: int | None = None):
     workload-sizing report style of GPUdrivers.cu:296-321)."""
     G, PT, K_aug, Dp = pt.eps_aug.shape
     R, S = los.ds.shape
-    rg = rg or resolve_rg(G, K_aug, Dp)
+    rg = rg or resolve_rg(G, K_aug, Dp, pool=True)
     _, idx, _ = _sorted_frozen_idx(pt, los, rg)
     Rp = idx.shape[0]
     NG = Rp // rg
@@ -559,7 +563,7 @@ def dma_schedule_stats(pt: "PallasTables", los, variant: str = "group"):
     group-independent, and an eager (unfused) _pool_schedule on a
     10k-ray batch materialises a >10 GB compaction mask."""
     G, PT, K_aug, Dp = pt.eps_aug.shape
-    RG = resolve_rg(G, K_aug, Dp)
+    RG = resolve_rg(G, K_aug, Dp, pool=(variant == "pool"))
     _, idx, _ = _sorted_frozen_idx(pt, los, RG)
     idx = np.asarray(idx)
     Rp = idx.shape[0]
@@ -612,7 +616,7 @@ def pool_compute_model(pt: "PallasTables", los, flags,
     G, PT, K_aug, Dp = pt.eps_aug.shape
     R, S = los.ds.shape
     W = los.k.shape[2]
-    rg = rg or resolve_rg(G, K_aug, Dp)
+    rg = rg or resolve_rg(G, K_aug, Dp, pool=True)
     J_f, J_i = pt.deg_f + 1, pt.deg_i + 1
 
     _, idx, _ = _sorted_frozen_idx(pt, los, rg)
@@ -1108,7 +1112,8 @@ def _make_kernel(G: int, S: int, K: int, K_aug: int, Dp: int, W: int,
 def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
                       NSLOT: int, MAXC: int, flags, ig_co2: int,
                       ig_h2o: int, n_src: int, early_exit: bool,
-                      deg_f: int, deg_i: int, pool_in_vmem: bool):
+                      deg_f: int, deg_i: int, pool_in_vmem: bool,
+                      hybrid: bool = False):
     """Slot-pool kernel variant (turbo tables only; see
     :func:`_pool_schedule` for the why).
 
@@ -1147,10 +1152,13 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
 
     def kernel(np_ref, combo_ref, tsm_ref, seg_ref, cc_ref,
                sr_ref, cm_ref, pool_in, *out_and_scratch):
+        rad_ref, tau_ref, *rest = out_and_scratch
+        send_ref = taint_ref = None
         if early_exit:
-            rad_ref, tau_ref, send_ref, *scratch = out_and_scratch
-        else:
-            rad_ref, tau_ref, *scratch = out_and_scratch
+            send_ref, *rest = rest
+        if hybrid:
+            taint_ref, *rest = rest
+        scratch = rest
         if pool_in_vmem:
             (acc,) = scratch
             pool = pool_in           # [1, G * NSLOT, K_aug, Dp] block
@@ -1187,9 +1195,9 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
         ABLATE = os.environ.get("JURASSIC_POOL_ABLATE", "")
 
         def body(s, carry):
-            rad, tau, tau_path = carry
+            rad, tau, tau_path, taint = carry
             if ABLATE in ("pureloop", "nopro", "nosched"):
-                return rad + 1e-30, tau, tau_path
+                return rad + 1e-30, tau, tau_path, taint
             # ONE natural [RG, F] vreg load per segment (the stream is
             # ray-minor, see the [NG, S, RG, F] packing in the driver);
             # every field is then a static lane column [RG, 1].  (A
@@ -1212,7 +1220,7 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
 
             if ABLATE == "empty":
                 rad = rad + p_s * 1e-30
-                return rad, tau, tau_path
+                return rad, tau, tau_path, taint
 
             kw = jnp.zeros((RG, Dp), jnp.float32)
             for w in range(W):
@@ -1226,7 +1234,7 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
                 upd = valid_s
                 rad = jnp.where(upd, rad + src * eps_tot * tau, rad)
                 tau = jnp.where(upd, tau * (1.0 - eps_tot), tau)
-                return rad, tau, tau_path
+                return rad, tau, tau_path, taint
 
             # --- EGA per gas, one evaluation per DISTINCT cell combo --
             tau_gas = jnp.ones((RG, Dp), jnp.float32)
@@ -1271,6 +1279,12 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
                     vld = get4(ROW_VALID)
                     okl = cm_ref[g] * vld[0, 0] * vld[1, 0] \
                         * vld[2, 0] * vld[3, 0]
+                    # ROW_VALID = 2.0 marks a bad-fit row (hybrid):
+                    # any corner using one taints the lane
+                    badm = jnp.maximum(
+                        jnp.maximum(vld[0, 0], vld[1, 0]),
+                        jnp.maximum(vld[2, 0], vld[3, 0])) \
+                        if hybrid else None
                     # bilinear: t within each p row, then p
                     # (jr_common.h:259-265)
                     t4 = get4(ROW_T)
@@ -1280,13 +1294,15 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
                                         eps4[1], t_s))
                     eps_p1 = _c01(_lipg(t4[2, 0], eps4[2], t4[3, 0],
                                         eps4[3], t_s))
-                    return _c01(_lipg(p0, eps_p0, p1, eps_p1, p_s)), okl
+                    return (_c01(_lipg(p0, eps_p0, p1, eps_p1, p_s)),
+                            okl, badm)
 
                 # combo 0: branch-free direct evaluation (always used)
                 v0 = combo_ref[0, 0, (s * G + g) * MAXC]
-                eps0, okl0 = combo_eval(v0 >> 15, (v0 >> 8) & 127)
+                eps0, okl0, bad0 = combo_eval(v0 >> 15, (v0 >> 8) & 127)
                 if ABLATE == "onecombo" or MAXC == 1:
                     eps_t, okl = eps0, okl0
+                    badv = bad0
                 else:
                     # extra combos (~20% of sites have a 2nd, ~1% a
                     # 3rd): pl.when regions accumulate into scratch;
@@ -1297,10 +1313,12 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
 
                     @pl.when(v1 != 0)
                     def _(v1=v1, combo_eval=combo_eval):
-                        e1, o1 = combo_eval(v1 >> 15, (v1 >> 8) & 127)
+                        e1, o1, b1 = combo_eval(v1 >> 15, (v1 >> 8) & 127)
                         r1 = ((v1 >> iota_ray) & 1) != 0
                         acc[0, :, :] = jnp.where(r1, e1, 0.0)
                         acc[1, :, :] = jnp.where(r1, o1, 0.0)
+                        if hybrid:
+                            acc[2, :, :] = jnp.where(r1, b1, 0.0)
                     if MAXC > 2:
                         v2 = combo_ref[0, 0, (s * G + g) * MAXC + 2]
 
@@ -1310,22 +1328,32 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
                                     (k, combo_ref[0, 0,
                                                   (s * G + g) * MAXC + k])
                                     for k in range(3, MAXC)]:
-                                ek, ok_ = combo_eval(vk >> 15,
-                                                     (vk >> 8) & 127)
+                                ek, ok_, bk = combo_eval(vk >> 15,
+                                                         (vk >> 8) & 127)
                                 rk = ((vk >> iota_ray) & 1) != 0
                                 acc[0, :, :] = acc[0, :, :] + jnp.where(
                                     rk, ek, 0.0)
                                 acc[1, :, :] = acc[1, :, :] + jnp.where(
                                     rk, ok_, 0.0)
+                                if hybrid:
+                                    acc[2, :, :] = acc[2, :, :] \
+                                        + jnp.where(rk, bk, 0.0)
                     ray0 = ((v0 >> iota_ray) & 1) != 0
                     eps_t = jnp.where(ray0, eps0, acc[0, :, :])
                     okl = jnp.where(ray0, okl0, acc[1, :, :])
+                    if hybrid:
+                        badv = jnp.where(ray0, bad0, acc[2, :, :])
                 opaque = tp < np.float32(TAU_OPAQUE)
                 factor = (1.0 - eps_t) / jnp.where(opaque, 1.0, tp)
                 factor = jnp.where(okl > 0, factor, 1.0)
                 factor = jnp.where(opaque, 0.0, factor)
                 tau_gas = tau_gas * factor
                 new_rows.append(jnp.where(valid_s, tp * factor, tp))
+                if hybrid:
+                    # a bad-fit row used on any ACTIVE, still-live
+                    # segment taints the lane's accumulated radiance
+                    hit = valid_s & ~opaque & (badv > 1.5)
+                    taint = jnp.where(hit, 1.0, taint)
             tau_path = jnp.stack(new_rows, axis=0)
 
             # --- source + integration (new_obs_core) ------------------
@@ -1334,14 +1362,16 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
             upd = valid_s & (tau_gas > 0.0)
             rad = jnp.where(upd, rad + src * eps_tot * tau, rad)
             tau = jnp.where(upd, tau * (1.0 - eps_tot), tau)
-            return rad, tau, tau_path
+            return rad, tau, tau_path, taint
 
         rad0 = jnp.zeros((RG, Dp), jnp.float32)
         tau0 = jnp.ones((RG, Dp), jnp.float32)
         tp0 = jnp.ones((G, RG, Dp), jnp.float32)
+        tn0 = jnp.zeros((RG, Dp), jnp.float32)
 
         if not early_exit:
-            rad, tau, _ = jax.lax.fori_loop(0, nb, body, (rad0, tau0, tp0))
+            rad, tau, _, taint = jax.lax.fori_loop(
+                0, nb, body, (rad0, tau0, tp0, tn0))
         else:
             # same exact exit as the group kernel (see its comment);
             # with the pool pre-gathered there is no lookahead to
@@ -1349,35 +1379,41 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
             dead_lane = jnp.max(cm_ref[:, :], axis=0) <= 0.0
 
             def cond(carry):
-                s, _rad, _tau, tau_path = carry
+                s, _rad, _tau, tau_path, _tn = carry
                 lanemin = jnp.min(tau_path, axis=0)
                 lanemin = jnp.where(dead_lane[None, :], 0.0, lanemin)
                 live = jnp.max(lanemin) >= np.float32(TAU_OPAQUE)
                 return (s < nb) & live
 
             def wbody(carry):
-                s, rad, tau, tau_path = carry
-                rad, tau, tau_path = body(s, (rad, tau, tau_path))
-                return s + 1, rad, tau, tau_path
+                s, rad, tau, tau_path, tn = carry
+                rad, tau, tau_path, tn = body(s, (rad, tau, tau_path, tn))
+                return s + 1, rad, tau, tau_path, tn
 
-            s_end, rad, tau, _ = jax.lax.while_loop(
-                cond, wbody, (jnp.int32(0), rad0, tau0, tp0))
+            s_end, rad, tau, _, taint = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), rad0, tau0, tp0, tn0))
             send_ref[0, :, :] = jnp.full((RG, Dp), s_end, jnp.int32)
 
         rad_ref[0, :, :] = rad
         tau_ref[0, :, :] = tau
+        if hybrid:
+            taint_ref[0, :, :] = taint
 
     return kernel
 
 
-def resolve_rg(G: int, K_aug: int, Dp: int) -> int:
+def resolve_rg(G: int, K_aug: int, Dp: int, pool: bool = False) -> int:
     """Rays per grid step: as many sublanes as the corner-slab VMEM
     budget allows (the analogue of the reference's GPU_SHARED_MEMORY
-    sizing knob, jurassic.h:344-345).  Turbo tables (K_aug ~ 32) run
-    the full 8; big table-mode slabs (K_aug ~ 232) step down."""
+    sizing knob, jurassic.h:344-345).  The slot-POOL kernel has no
+    per-ray slabs at all (its pool is RG-independent), so it always
+    runs the full 8 sublanes; the group kernel's big table-mode slabs
+    (K_aug ~ 232) step down with gas count and lane width."""
     env = os.environ.get("JURASSIC_PALLAS_RG")
     if env:
         return max(1, min(RG_MAX, int(env)))
+    if pool:
+        return RG_MAX
     rg = RG_MAX
     while rg > 1 and NBUF * G * 4 * K_aug * rg * Dp * 4 > SLAB_BUDGET:
         rg //= 2
@@ -1412,7 +1448,7 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     R, S = los.ds.shape
     W = los.k.shape[2]
     n_src = pt.sr.shape[0]
-    RG = resolve_rg(G, K_aug, Dp)
+    RG = resolve_rg(G, K_aug, Dp, pool=variant.startswith("pool"))
     if variant == "pool" and pt.mode != "turbo":
         raise ValueError("variant='pool' requires turbo tables")
     return_ok = False
@@ -1502,6 +1538,11 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         pool_bytes, other = sizes(DpB)
         pool_in_vmem = 2 * pool_bytes + other <= BUDGET
         N_CC_W = cc_rows.shape[0]
+        hybrid = pt.n_bad > 0
+        if hybrid:                 # per-(ray, channel) bad-row taint
+            out_specs = out_specs + [out_specs[0]]
+            out_shape = out_shape + [
+                jax.ShapeDtypeStruct((NG, RG, Dp), jnp.float32)]
         # channel-blocked out specs (at NCB = 1 these match the group
         # kernel's whole-lane blocks)
         out_specs = [pl.BlockSpec((1, RG, DpB),
@@ -1510,7 +1551,7 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         kernel = _make_pool_kernel(G, S, DpB, W, RG, NSLOT, MAXC,
                                    tuple(flags), ig_co2, ig_h2o, n_src,
                                    early_exit, pt.deg_f, pt.deg_i,
-                                   pool_in_vmem)
+                                   pool_in_vmem, hybrid=hybrid)
         # ray-minor stream [NG, S, RG, F]: one (RG, F) vreg tile per
         # segment (see the field-extraction comment in the kernel)
         seg4 = seg.reshape(NG, RG, S, F_SEG).transpose(0, 2, 1, 3)
@@ -1599,6 +1640,11 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
     res = (rad, tau)
     if return_ok:
         res += (ok,)
+        if variant == "pool" and pt.n_bad > 0:
+            # hybrid taint [R, D]: lanes whose radiance consumed a
+            # bad-fit turbo row (driver re-evaluates them through the
+            # exact table kernel)
+            res += (outs[-1].reshape(Rp, Dp)[inv, :D],)
     if return_s_end:
         s_end = (outs[2].reshape(Rp, Dp)[::RG, 0] if early_exit
                  else jnp.full((NG,), S, jnp.int32))

@@ -179,6 +179,9 @@ def fit_rows(rows: np.ndarray, nk: np.ndarray, deg_f: int, deg_i: int,
     ends_all = np.zeros(B, bool)
     eta0_all = np.zeros(B)
     eta_hi_all = np.zeros(B)
+    row_f_all = np.zeros(B)    # per-row forward fit error
+    row_rt_all = np.zeros(B)   # per-row inverse-roundtrip error
+    row_chord = np.zeros(B)    # per-row chord deviation
     max_f = 0.0
     max_rt = 0.0
     max_chord = 0.0
@@ -212,8 +215,8 @@ def fit_rows(rows: np.ndarray, nk: np.ndarray, deg_f: int, deg_i: int,
         c_f = (h0 + fr * (h1 - h0)) @ P_f
         eps_fit = -np.expm1(-np.exp(_chebval(
             np.clip(2 * kk / k_hi_f - 1, -1, 1), c_f)))
-        max_f = max(max_f, float(
-            np.abs(np.where(m, eps_fit - r, 0)).max()))
+        err_f = np.abs(np.where(m, eps_fit - r, 0)).max(axis=1)
+        max_f = max(max_f, float(err_f.max(initial=0.0)))
 
         eta0 = h[:, :1]
         eta_hi = np.take_along_axis(h, k_hi[:, None], axis=1)
@@ -242,8 +245,8 @@ def fit_rows(rows: np.ndarray, nk: np.ndarray, deg_f: int, deg_i: int,
         km = np.clip(_chebval(xm, c_i), 0, k_hi_f)
         e_rt = -np.expm1(-np.exp(
             _chebval(np.clip(2 * km / k_hi_f - 1, -1, 1), c_f)))
-        max_rt = max(max_rt, float(
-            np.abs(np.where(mm, e_rt - em, 0)).max()))
+        err_rt = np.abs(np.where(mm, e_rt - em, 0)).max(axis=1)
+        max_rt = max(max_rt, float(err_rt.max(initial=0.0)))
 
         # chord deviation: the curve at k+1/2 vs the table kernels'
         # linear-in-u chord at the u-grid midpoint (see TurboStats)
@@ -253,8 +256,8 @@ def fit_rows(rows: np.ndarray, nk: np.ndarray, deg_f: int, deg_i: int,
         fmid = np.float64(2.0 ** (0.5 * 1.0 / 6.0) - 1.0) \
             / np.float64(2.0 ** (1.0 / 6.0) - 1.0)
         e_chord = r[:, :-1] + fmid * (r[:, 1:] - r[:, :-1])
-        max_chord = max(max_chord, float(
-            np.abs(np.where(mm, e_curve - e_chord, 0)).max()))
+        err_ch = np.abs(np.where(mm, e_curve - e_chord, 0)).max(axis=1)
+        max_chord = max(max_chord, float(err_ch.max(initial=0.0)))
 
         cf[sl] = c_f
         ci[sl] = c_i
@@ -262,18 +265,33 @@ def fit_rows(rows: np.ndarray, nk: np.ndarray, deg_f: int, deg_i: int,
         ends_all[sl] = ends
         eta0_all[sl] = eta0[:, 0]
         eta_hi_all[sl] = eta_hi[:, 0]
+        row_f_all[sl] = err_f
+        row_rt_all[sl] = err_rt
+        row_chord[sl] = err_ch
     return (cf, ci, k_hi_all, ends_all, eta0_all, eta_hi_all,
-            TurboStats(B, max_f, max_rt, max_chord))
+            TurboStats(B, max_f, max_rt, max_chord),
+            (row_f_all, row_rt_all, row_chord))
 
 
 def build_turbo_tables(ft: FastTables, n_chan: int = 1,
-                       deg_f: int = 8, deg_i: int = 8):
+                       deg_f: int = 8, deg_i: int = 8,
+                       fit_tol: float = 2e-3, chord_tol: float = 3e-3):
     """Pack FastTables into turbo-mode PallasTables.
 
     Returns (PallasTables | None, TurboStats | None): None when the
     table axes are not channel-uniform (same precondition as
     build_pallas_tables -- the prologue's corner bracketing is shared
-    across channels)."""
+    across channels).
+
+    PER-ROW hybrid support (VERDICT r4 item 6): rows whose individual
+    fit or chord error exceeds (fit_tol, chord_tol) are marked BAD --
+    their ROW_VALID aux value is 2.0 instead of 1.0 (still truthy for
+    the okl gating, so the kernel computes the turbo value, but the
+    pool kernel accumulates a per-(ray, channel) taint from the > 1.5
+    marks and the driver re-evaluates tainted cells through the exact
+    table kernel).  The returned TurboStats cover the GOOD rows only;
+    ``pt.n_bad`` carries the bad count (0 = today's pure-turbo
+    behaviour, bit for bit)."""
     from .ega_fused import (LANE, PallasTables, _round_up,
                             _uniform_axes)
 
@@ -311,8 +329,15 @@ def build_turbo_tables(ft: FastTables, n_chan: int = 1,
     g_i, c_i_, d_i = np.nonzero(valid)
     rows = eps[g_i, c_i_, :, d_i].astype(np.float64)
     nk = nu[g_i, c_i_, d_i].astype(np.int64)
-    cf, ci, k_hi, ends, eta0_v, eta_hi_v, stats = fit_rows(
-        rows, nk, deg_f, deg_i)
+    (cf, ci, k_hi, ends, eta0_v, eta_hi_v, _stats_all,
+     (row_f, row_rt, row_chord)) = fit_rows(rows, nk, deg_f, deg_i)
+    bad = (np.maximum(row_f, row_rt) > fit_tol) | (row_chord > chord_tol)
+    good = ~bad
+    stats = TurboStats(
+        rows.shape[0],
+        float(row_f[good].max(initial=0.0)),
+        float(row_rt[good].max(initial=0.0)),
+        float(row_chord[good].max(initial=0.0)))
 
     # scatter the per-row results into dense [G, PT, ., D] planes
     def plane(vals, j=None):
@@ -344,7 +369,11 @@ def build_turbo_tables(ft: FastTables, n_chan: int = 1,
     packed[:, :, A + 9, :] = t3.reshape(G, PT, D)
     packed[:, :, A + 10, :] = np.repeat(
         ft.p.reshape(G, P, 1, D), T, axis=2).reshape(G, PT, D)
-    packed[:, :, A + 11, :] = valid.astype(np.float32)
+    # ROW_VALID: 0 = no table, 1 = good fit, 2 = bad fit (truthy for
+    # okl, but > 1.5 feeds the pool kernel's hybrid taint)
+    vplane = valid.astype(np.float32)
+    vplane[g_i, c_i_, d_i] += bad.astype(np.float32)
+    packed[:, :, A + 11, :] = vplane
     l2u0 = ft.log2_u0.reshape(G, PT, D)
     from ...tables import LOG2_RATIO_U
     packed[:, :, A + 12, :] = np.exp2(l2u0)
@@ -364,5 +393,6 @@ def build_turbo_tables(ft: FastTables, n_chan: int = 1,
         p_ax=jnp.asarray(p_ax), t_ax=jnp.asarray(t_ax),
         np_u=jnp.asarray(np_u), nt_u=jnp.asarray(nt_u),
         k_rows=K, d_true=Ds, n_chan=n_chan,
-        mode="turbo", deg_f=deg_f, deg_i=deg_i)
+        mode="turbo", deg_f=deg_f, deg_i=deg_i,
+        n_bad=int(bad.sum()))
     return pt, stats

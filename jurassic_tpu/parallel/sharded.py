@@ -75,7 +75,8 @@ def _pallas_in_specs(pt: PallasTables):
         sr=P(None, CHAN_AXIS), chan_mask=P(None, CHAN_AXIS),
         p_ax=P(), t_ax=P(), np_u=P(), nt_u=P(),
         k_rows=pt.k_rows, d_true=pt.d_true, n_chan=pt.n_chan,
-        mode=pt.mode, deg_f=pt.deg_f, deg_i=pt.deg_i)
+        mode=pt.mode, deg_f=pt.deg_f, deg_i=pt.deg_i,
+        n_bad=pt.n_bad)
     r1, r2, r3 = P(RAY_AXIS), P(RAY_AXIS, None), P(RAY_AXIS, None, None)
     los_specs = LosData(
         z=r2, lon=r2, lat=r2, p=r2, t=r2, q=r3, k=r3, ds=r2, u=r3,
@@ -180,6 +181,16 @@ class ShardedForwardModel(ForwardModel):
             raise ValueError(
                 "USETPU = 0 (never) contradicts running on an "
                 "accelerator mesh; drop the mesh or set USETPU = -1/1")
+        if self.pallas_tbl_table is not None:
+            # hybrid turbo (bad-fit rows) is a single-chip feature for
+            # now: the taint splice would need a second shard-mapped
+            # dispatch per batch.  Demote to the exact table kernel --
+            # correct on every row, just without the turbo speedup.
+            print("# sharded driver: hybrid turbo tables demoted to "
+                  "the exact table kernel "
+                  f"({self.pallas_tbl.n_bad} bad-fit rows)")
+            self.pallas_tbl = self.pallas_tbl_table
+            self.pallas_tbl_table = None
         self.mesh = mesh
         self.n_ray_shards = mesh.shape[RAY_AXIS]
         self.ray_multiple = self.n_ray_shards
@@ -238,7 +249,8 @@ class ShardedForwardModel(ForwardModel):
         across the mesh; any shard's overflow redoes the whole batch
         with the group kernel (same policy as the single-chip driver)."""
         if pend is not None:
-            okf, redo = pend
+            okf, _taintf, redo = pend    # taint is None here (hybrid
+            #                              demotes at init, see above)
             if not bool(host_gather(okf).all()):
                 out2 = redo()
                 self.last_variant = "group"
