@@ -478,7 +478,9 @@ class ForwardModel:
         if self.tables is not None and ctl.tblbase != "-":
             from .tables import cache_filename
             base = cache_filename(ctl, directory)
-            cf = base.with_name(f"{base.stem}_turbo{n_chan}.npz")
+            # v2: the round-5 aux layout (21 aux rows incl. the
+            # precomputed slopes + n_bad); older caches must re-fit
+            cf = base.with_name(f"{base.stem}_turbo{n_chan}v2.npz")
         if cf is not None and ctl.read_binary and cf.exists():
             with np.load(cf, allow_pickle=False) as f:
                 pt = PallasTables(

@@ -384,7 +384,7 @@ def _group_schedule(idx, rg: int):
     return jnp.moveaxis(packed, 1, -1)                  # [NG, S, G, 2, rg]
 
 
-def _pool_schedule(idx, rg: int, nslot: int, maxc: int):
+def _pool_schedule(idx, rg: int, nslot: int, maxc: int, np_=None):
     """Slot-pool schedule: each DISTINCT table ROW of a ray group's
     whole LOS gets one pool slot, fetched exactly once per group.
 
@@ -425,6 +425,11 @@ def _pool_schedule(idx, rg: int, nslot: int, maxc: int):
             streams are garbage in that case).
 
     idx: [R, S, G, 2] int32, R a multiple of rg, frozen beyond np.
+    ``np_`` (optional, [R]): active LOS point counts -- rays beyond
+    their np are EXCLUDED from combo detection (their frozen cells
+    otherwise accumulate up to rg distinct stale combos late in the
+    scan and overflow MAXC for nothing; the kernel masks their
+    physics with valid_s regardless, so they need no combo at all).
     """
     R, S, G, _ = idx.shape
     NG = R // rg
@@ -480,16 +485,25 @@ def _pool_schedule(idx, rg: int, nslot: int, maxc: int):
     slots = inv.reshape(NG, G, rg, S, 2)
     key = (slots[..., 0] * nslot + slots[..., 1]) \
         .transpose(0, 3, 1, 2)                         # [NG, S, G, rg]
-    eq = key[..., :, None] == key[..., None, :]        # [.., rg, rg]
     iota_r = jnp.arange(rg, dtype=jnp.int32)
+    if np_ is None:
+        act = jnp.ones(key.shape, jnp.bool_)
+    else:
+        act = (jnp.arange(S)[None, :, None]
+               < np_.reshape(NG, rg)[:, None, :]
+               )[:, :, None, :]                        # [NG, S, 1, rg]
+        act = jnp.broadcast_to(act, key.shape)
+        key = jnp.where(act, key, jnp.int32(1 << 29))
+    eq = key[..., :, None] == key[..., None, :]        # [.., rg, rg]
     firstpos = jnp.min(jnp.where(eq, iota_r, rg), axis=-1)  # [.., rg]
-    first = firstpos == iota_r
+    first = (firstpos == iota_r) & act
     ncomb = jnp.sum(first, axis=-1)
     ok = ok & jnp.all(ncomb <= maxc)
     # combo id per ray = #distinct keys first-seen before this ray's
     cid = jnp.sum((firstpos[..., None, :] < firstpos[..., :, None])
                   & first[..., None, :], axis=-1)      # [.., rg]
-    onehot = cid[..., None] == jnp.arange(maxc)        # [.., rg, maxc]
+    onehot = (cid[..., None] == jnp.arange(maxc)) \
+        & act[..., None]                               # [.., rg, maxc]
     ck = jnp.max(jnp.where(onehot & first[..., None], key[..., None],
                            -1), axis=-2)               # [.., maxc]
     mask = jnp.sum(jnp.where(onehot, 1 << iota_r[..., None], 0),
@@ -534,7 +548,7 @@ def pool_plan(pt: "PallasTables", los, rg: int | None = None):
     G, PT, K_aug, Dp = pt.eps_aug.shape
     R, S = los.ds.shape
     rg = rg or resolve_rg(G, K_aug, Dp, pool=True)
-    _, idx, _ = _sorted_frozen_idx(pt, los, rg)
+    los, idx, _ = _sorted_frozen_idx(pt, los, rg)
     Rp = idx.shape[0]
     NG = Rp // rg
     vals = (idx.reshape(NG, rg, S, G, 2).transpose(0, 3, 1, 2, 4)
@@ -546,10 +560,18 @@ def pool_plan(pt: "PallasTables", los, rg: int | None = None):
          (sv[..., 1:] != sv[..., :-1]).astype(sv.dtype)], -1), axis=-1))
     gi = idx.reshape(NG, rg, S, G, 2)
     key = (gi[..., 0] * 8192 + gi[..., 1])             # [NG, rg, S, G]
+    # inactive (beyond-np) rays carry frozen stale cells and get no
+    # combo in the schedule -- exclude them here the same way
+    act = (jnp.arange(S)[None, None, :]
+           < los.np_.astype(jnp.int32).reshape(NG, rg)[:, :, None]
+           )[..., None]
+    key = jnp.where(act, key, jnp.int32(1 << 29))
     ksort = jnp.sort(key, axis=1)
-    ncomb = jnp.max(jnp.sum(jnp.concatenate(
-        [jnp.ones_like(ksort[:, :1]),
-         (ksort[:, 1:] != ksort[:, :-1]).astype(key.dtype)], 1), axis=1))
+    newk = jnp.concatenate(
+        [ksort[:, :1] < (1 << 29),
+         (ksort[:, 1:] != ksort[:, :-1]) & (ksort[:, 1:] < (1 << 29))],
+        axis=1)
+    ncomb = jnp.max(jnp.sum(newk, axis=1))
     return ndist, ncomb
 
 
@@ -625,7 +647,8 @@ def pool_compute_model(pt: "PallasTables", los, flags,
     nslot, maxc = min(POOL_NSLOT, PT), min(POOL_MAXC, rg)
     # jitted: the eager compaction mask materialises ~GBs at 1k+ rays
     sched = jax.jit(_pool_schedule, static_argnums=(1, 2, 3))
-    _, combo, _ = sched(idx, rg, nslot, maxc)
+    _, combo, _ = sched(idx, rg, nslot, maxc,
+                        los_s.np_.astype(jnp.int32))
     combo = np.asarray(combo)                           # [NG, S, G, maxc]
     np_ = np.asarray(los.np_)
     order = np.argsort(np.asarray(jax.device_get(los.tpz)))
@@ -773,46 +796,45 @@ def _turbo_corner(get_row, J_f, J_i, target, eta_t, u_seg):
     l2u0 = get_row(AUX + 0)
     k_hi = get_row(AUX + 1)
     e0 = get_row(AUX + 2)
-    e1 = get_row(AUX + 3)
     e2nd = get_row(AUX + 4)
     emax = get_row(AUX + 5)
     ends = get_row(AUX + 6)
-    eta0 = get_row(AUX + 7)
-    etah = get_row(AUX + 8)
     u0 = get_row(AUX + 12)
     u_n1 = get_row(AUX + 13)
-    u1 = u0 * RATIO
+    # precomputed slopes (turbo_fit rows A+14..20): the former guarded
+    # divisions are build-time constants per (corner row, channel)
+    xi_a = get_row(AUX + 14)
+    xi_b = get_row(AUX + 15)
+    s_lo_inv = get_row(AUX + 16)
+    s_hi_inv = get_row(AUX + 17)
+    s_lo_fwd = get_row(AUX + 18)
+    s_hi_fwd = get_row(AUX + 19)
+    ky = get_row(AUX + 20)
     u_n2 = u_n1 * np.float32(2.0 ** -LOG2_RATIO_U)
     # inversion: precomputed eta(target) -> normalized xi -> k
-    dh = etah - eta0
-    dh = jnp.where(jnp.abs(dh) > 1e-30, dh, 1.0)
-    xi = jnp.clip((2.0 * eta_t - (eta0 + etah)) / dh, -1.0, 1.0)
+    xi = jnp.clip(eta_t * xi_a + xi_b, -1.0, 1.0)
     k_c = jnp.clip(cheb(J_f, J_i, xi), 0.0, k_hi)
     u_c = jnp.exp2(l2u0 + k_c * R6)
     # below-range: linear extrapolation through the first u-interval
     # (get_u with idx clamped to 0)
-    d01 = e1 - e0
-    d01g = jnp.where(d01 == 0, 1.0, d01)
     u_c = jnp.where(target < e0,
-                    u0 + (target - e0) * (u1 - u0) / d01g, u_c)
+                    u0 + (target - e0) * s_lo_inv, u_c)
     # beyond-range, row truly ends: through the last active interval;
     # saturated rows pin u at the plateau start
-    d2 = emax - e2nd
-    d2g = jnp.where(d2 == 0, 1.0, d2)
-    hi_u = u_n2 + (target - e2nd) * (u_n1 - u_n2) / d2g
+    hi_u = u_n2 + (target - e2nd) * s_hi_inv
     u_c = jnp.where((target > emax) & (ends > 0), hi_u, u_c)
     # forward: eps(u_c + u_seg) through the forward expansion
     u_new = u_c + u_seg
     k_new = (jnp.log2(jnp.maximum(u_new, 1e-37)) - l2u0) / R6
     k_cl = jnp.clip(k_new, 0.0, k_hi)
-    y = jnp.clip(2.0 * k_cl / jnp.maximum(k_hi, 1.0) - 1.0, -1.0, 1.0)
+    y = jnp.clip(k_cl * ky - 1.0, -1.0, 1.0)
     eps = 1.0 - jnp.exp(-jnp.exp(cheb(0, J_f, y)))
     # linear extensions outside the active range (get_eps with the
-    # clamped end intervals; saturated rows extend flat)
-    eps = jnp.where(
-        k_new < 0.0, e0 + (u_new - u0) * d01 / (u1 - u0), eps)
-    hi_e = emax + (u_new - u_n1) * d2 / (u_n1 - u_n2) * ends
-    eps = jnp.where(k_new > k_hi, hi_e, eps)
+    # clamped end intervals; saturated rows extend flat -- the ends
+    # factor is folded into s_hi_fwd)
+    eps = jnp.where(k_new < 0.0, e0 + (u_new - u0) * s_lo_fwd, eps)
+    eps = jnp.where(k_new > k_hi,
+                    emax + (u_new - u_n1) * s_hi_fwd, eps)
     # flat rows: the exact path's guarded lip freezes the value
     eps = jnp.where(jnp.abs(emax - e0) > 1e-10, eps, e0)
     return _c01(eps)
@@ -1501,7 +1523,8 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
             combo = jnp.zeros((NG, S, G, MAXC), jnp.int32)
             ok = jnp.bool_(True)
         else:
-            rows, combo, ok = _pool_schedule(idx, RG, NSLOT, MAXC)
+            rows, combo, ok = _pool_schedule(idx, RG, NSLOT, MAXC,
+                                             los.np_.astype(jnp.int32))
         # pre-gather the whole pool in HBM: ONE leading-axis row
         # gather at memory bandwidth (~1 ms flagship) replaces the
         # ~500 per-pair kernel DMAs per group whose issue overhead was

@@ -66,7 +66,11 @@ import numpy as np
 
 from ...tables import FastTables
 
-N_TURBO_AUX = 14
+N_TURBO_AUX = 21   # 14 base rows + 7 precomputed-slope rows (A+14..20:
+#                    xi_a, xi_b, s_lo_inv, s_hi_inv, s_lo_fwd,
+#                    s_hi_fwd, ky) that fold the corner evaluation's
+#                    guarded-denominator arithmetic into build-time
+#                    constants (~25% fewer vector ops per corner)
 
 
 class TurboStats(NamedTuple):
@@ -379,6 +383,34 @@ def build_turbo_tables(ft: FastTables, n_chan: int = 1,
     packed[:, :, A + 12, :] = np.exp2(l2u0)
     packed[:, :, A + 13, :] = np.exp2(
         l2u0 + plane(k_hi.astype(np.float64)) * LOG2_RATIO_U)
+    # precomputed corner-evaluation slopes (guards replicated exactly
+    # from the former in-kernel forms, _turbo_corner pre-round-5):
+    #   xi = clip(eta_t * xi_a + xi_b)    [was (2 eta_t - (eta0+etah))/dh]
+    #   u_c(lo)  = u0 + (t - e0) * s_lo_inv
+    #   u_c(hi)  = u_n2 + (t - e2nd) * s_hi_inv
+    #   eps(lo)  = e0 + (u - u0) * s_lo_fwd
+    #   eps(hi)  = emax + (u - u_n1) * s_hi_fwd      [ends folded in]
+    #   y = clip(k_cl * ky - 1)
+    dh_v = eta_hi_v - eta0_v
+    dh_g = np.where(np.abs(dh_v) > 1e-30, dh_v, 1.0)
+    RATIO = 2.0 ** LOG2_RATIO_U
+    u0_v = np.exp2(ft.log2_u0.reshape(G, PT, D)[g_i, c_i_, d_i])
+    u1_v = u0_v * RATIO
+    u_n1_v = u0_v * RATIO ** k_hi.astype(np.float64)
+    u_n2_v = u_n1_v / RATIO
+    d01_v = e1_v - e0_v
+    d01_g = np.where(d01_v == 0, 1.0, d01_v)
+    d2_v = emax_v - e2nd_v
+    d2_g = np.where(d2_v == 0, 1.0, d2_v)
+    packed[:, :, A + 14, :] = plane(2.0 / dh_g)
+    packed[:, :, A + 15, :] = plane(-(eta0_v + eta_hi_v) / dh_g)
+    packed[:, :, A + 16, :] = plane((u1_v - u0_v) / d01_g)
+    packed[:, :, A + 17, :] = plane((u_n1_v - u_n2_v) / d2_g)
+    packed[:, :, A + 18, :] = plane(d01_v / (u1_v - u0_v))
+    packed[:, :, A + 19, :] = plane(
+        d2_v / (u_n1_v - u_n2_v) * ends.astype(np.float64))
+    packed[:, :, A + 20, :] = plane(
+        2.0 / np.maximum(k_hi.astype(np.float64), 1.0))
 
     from .ega_fused import shard_lanes
     import jax.numpy as jnp

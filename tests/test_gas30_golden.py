@@ -74,16 +74,56 @@ def test_gas30_exact_matches_reference(gas30_dir):
     assert np.abs(obs.tau - tau_ref).max() <= 5e-6
 
 
-def test_gas30_turbo_pool_matches_reference(gas30_dir):
-    """The production pool kernel at reference gas capacity: must
-    dispatch (not silently fall elsewhere) and hit the turbo golden
-    bar (5e-3: u-grid chord discretization, see turbo_fit)."""
+def test_gas30_turbo_matches_reference(gas30_dir):
+    """The turbo production path at reference gas capacity must hit
+    the turbo golden bar (5e-3: u-grid chord discretization, see
+    turbo_fit).  The golden's 1-km-spaced scan on the minimal table
+    grid puts a group's 8 rays in up to 8 distinct (p, T) cells at
+    late segments (physical, not a bug), so the optimistic pool
+    dispatch may legitimately take its documented combo-capacity
+    fallback to the group kernel -- accuracy is identical either
+    way."""
     ctl, fm, obs, ref = run_dir(gas30_dir, "turbo")
     assert fm.kernel_mode == "pallas" and fm.pallas_tbl.mode == "turbo"
-    assert fm.last_variant == "pool"
+    assert fm.last_variant in ("pool", "group")
     nd = ctl.nd
     rad_ref = ref[:, 10:10 + nd]
     tau_ref = ref[:, 10 + nd:10 + 2 * nd]
     scale = np.abs(rad_ref).max(axis=0)
     assert (np.abs(obs.rad - rad_ref).max(axis=0) <= 5e-3 * scale).all()
     assert np.abs(obs.tau - tau_ref).max() <= 5e-3
+
+
+def test_gas30_dense_scan_dispatches_pool(gas30_dir):
+    """On a DENSE scan (0.1-km tangent spacing, the production regime
+    the bench measures) a group's rays share cells and the POOL
+    kernel must dispatch at G = 30 -- the round-5 capacity design
+    (flat row-slot pool, manual whole-pool DMA / channel-blocked
+    grid).  Output must match the group variant bit for bit."""
+    import dataclasses as dc
+
+    from jurassic_tpu.io_tab import Obs
+    from jurassic_tpu.models.geometry_gen import limb_geometry
+
+    d = gas30_dir
+    ctl = read_ctl(["formod", str(d / "gas30.ctl"), "o", "a", "r"],
+                   verbose=False)
+    ctl.kernel = "turbo"
+    ctl.tblbase = str(d / "synth")
+    atm = read_atm(d / "atm.tab", ctl)
+    obs = limb_geometry(z0=20.0, z1=21.5, dz=0.1, nd=ctl.nd)
+    fm = ForwardModel(ctl, directory=str(d))
+    o1 = Obs(**{f.name: np.array(getattr(obs, f.name))
+                for f in dc.fields(Obs)})
+    fm.formod(atm, o1)
+    assert fm.last_variant == "pool"
+    import os
+    os.environ["JURASSIC_PALLAS_VARIANT"] = "group"
+    try:
+        o2 = Obs(**{f.name: np.array(getattr(obs, f.name))
+                    for f in dc.fields(Obs)})
+        fm.formod(atm, o2)
+    finally:
+        del os.environ["JURASSIC_PALLAS_VARIANT"]
+    np.testing.assert_array_equal(o1.rad, o2.rad)
+    np.testing.assert_array_equal(o1.tau, o2.tau)
