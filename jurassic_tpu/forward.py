@@ -556,6 +556,11 @@ class ForwardModel:
             return pack
         if pack < 0:
             return 0
+        cache = getattr(self, "_raypack_cache", None)
+        if cache is None:
+            cache = self._raypack_cache = {}
+        if nr in cache:
+            return cache[nr]
         dev = jax.local_devices()[0]
         try:
             st = dev.memory_stats()
@@ -579,11 +584,15 @@ class ForwardModel:
         budget = int(0.9 * free) // 2
         fit = max(budget // max(prb, 1), 1) * max(self.ray_multiple, 1)
         if fit >= nr:
-            return 0
-        if getattr(self, "_raypack_printed", None) != fit:
+            fit = 0
+        elif getattr(self, "_raypack_printed", None) != fit:
             self._raypack_printed = fit
             print(f"# RAYPACK auto: {fit} rays/package "
                   f"({prb} B/ray, {free / 1e9:.2f} GB free)")
+        # cache per batch size: device.memory_stats() is an RPC on
+        # tunneled devices (~tens of ms, erratic) and the sizing only
+        # depends on the once-per-process free-memory snapshot
+        cache[nr] = fit
         return fit
 
     def _exec_ctx(self):

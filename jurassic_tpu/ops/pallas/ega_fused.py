@@ -1578,7 +1578,9 @@ def rt_fused_pallas(pt: PallasTables, cc_rows, los, flags,
         # ray-minor stream [NG, S, RG, F]: one (RG, F) vreg tile per
         # segment (see the field-extraction comment in the kernel)
         seg4 = seg.reshape(NG, RG, S, F_SEG).transpose(0, 2, 1, 3)
-        scratch = [pltpu.VMEM((2, RG, DpB), jnp.float32)]
+        # accumulator rows: eps, okl, + the hybrid taint row
+        scratch = [pltpu.VMEM((3 if hybrid else 2, RG, DpB),
+                              jnp.float32)]
         if pool_in_vmem:
             pool_spec = pl.BlockSpec((1, G * NSLOT, K_aug, DpB),
                                      lambda r, cb: (r, 0, 0, cb),
