@@ -641,7 +641,7 @@ def pool_compute_model(pt: "PallasTables", los, flags,
     rg = rg or resolve_rg(G, K_aug, Dp, pool=True)
     J_f, J_i = pt.deg_f + 1, pt.deg_i + 1
 
-    _, idx, _ = _sorted_frozen_idx(pt, los, rg)
+    los_s, idx, _ = _sorted_frozen_idx(pt, los, rg)
     Rp = idx.shape[0]
     NG = Rp // rg
     nslot, maxc = min(POOL_NSLOT, PT), min(POOL_MAXC, rg)
