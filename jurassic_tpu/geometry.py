@@ -410,7 +410,12 @@ def _trace_single(ctl_rayds, ctl_raydz, ctl_refrac, nlos,
     init = (x0, ex0, jnp.logical_not(ok), jnp.asarray(0, jnp.int32),
             jnp.asarray(-999.0, dtype), big, jnp.asarray(-1, jnp.int32),
             zero, zero, zero)
-    carry, outs = jax.lax.scan(step, init, jnp.arange(nlos, dtype=jnp.int32))
+    # unroll: the per-step state is tiny, so the 400-step scan is
+    # sequencing-overhead-bound on TPU; unrolling amortizes the loop
+    # boundaries ~4x without changing any per-element arithmetic
+    carry, outs = jax.lax.scan(step, init,
+                               jnp.arange(nlos, dtype=jnp.int32),
+                               unroll=8)
     (_, _, _, _, tsurf, _, z_low_idx, _, _, _) = carry
 
     valid = outs["valid"]

@@ -659,8 +659,9 @@ def pool_compute_model(pt: "PallasTables", los, flags,
     evals = int(((combo != 0) & act).sum())
     steps = int(nb.sum())
 
-    # per-element op counts (see _turbo_corner / the kernel body)
-    corner = (J_f + J_i) + 70                 # + 4 transcendentals
+    # per-element op counts (see _turbo_corner / the kernel body;
+    # round 5 folded ~27 ops/corner into precomputed slope rows)
+    corner = (J_f + J_i) + 43                 # + 4 transcendentals
     per_combo = 4 * corner + 28               # corners + okl + bilinear
     per_combo_tr = 4 * 4
     per_sg = 17 + 6                           # eta_t + factor + blend
