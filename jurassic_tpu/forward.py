@@ -533,7 +533,7 @@ class ForwardModel:
         out = 2 * _round_up_128(max(ctl.nd, 1)) * 4
         sched = 0
         if self.kernel_mode == "pallas" and self.pallas_tbl is not None:
-            from .ops.pallas.ega_fused import POOL_NSLOT
+            from .ops.pallas.ega_fused import POOL_NSLOT, RG_MAX
             P = int(self.pallas_tbl.p_ax.shape[-1])
             T = int(self.pallas_tbl.t_ax.shape[-1])
             # one-hot operands + bracketing rows (lo+hi, ~4 concurrent
@@ -541,6 +541,15 @@ class ForwardModel:
             # row-candidate stream is 2x the pair stream)
             sched = S * G * ((P + T) * 4 * 4
                              + 4 * (min(POOL_NSLOT, P * T) + 8) * 4)
+            if self.pallas_tbl.mode == "turbo":
+                # the PRE-GATHERED pool (one [G*NSLOT, K_aug, Dp]
+                # block per 8-ray group) dominates per-ray HBM at wide
+                # nd: 21 MB/ray at nd = 2048 -- without this term the
+                # auto package overruns the chip (measured OOM)
+                _, _, K_aug, Dp = (int(x) for x in
+                                   self.pallas_tbl.eps_aug.shape)
+                nslot = min(POOL_NSLOT, P * T)
+                sched += G * nslot * K_aug * Dp * 4 // RG_MAX
         return los + streams + out + sched
 
     def _resolve_raypack(self, nr: int) -> int:
