@@ -589,8 +589,13 @@ class ForwardModel:
         # ~2 packages in flight (the RAYPACK loop overlaps package n+1's
         # dispatch with package n's compute); a package's rays split
         # across the mesh's ray shards, so the per-DEVICE budget sizes
-        # ray_multiple times as many package rays (ADVICE r4)
-        budget = int(0.9 * free) // 2
+        # ray_multiple times as many package rays (ADVICE r4).  The
+        # turbo pool path divides by 3: its pre-gathered pool peaks
+        # with the gather TEMP of the next package alive next to two
+        # resident pools (measured OOM at nd = 2048 with the /2 rule)
+        div = 3 if (self.pallas_tbl is not None
+                    and self.pallas_tbl.mode == "turbo") else 2
+        budget = int(0.9 * free) // div
         fit = max(budget // max(prb, 1), 1) * max(self.ray_multiple, 1)
         if fit >= nr:
             fit = 0
