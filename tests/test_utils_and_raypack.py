@@ -122,3 +122,20 @@ def test_raypack_bitwise_identical():
     np.testing.assert_array_equal(o1.tau, o2.tau)
     np.testing.assert_array_equal(o1.tpz, o2.tpz)
     ctl.raypack = 0
+
+
+def test_hash_cli_matches_reference():
+    """djb2 values captured from the reference's own hash function
+    (jr_simple_string_hash.h:6-15 compiled and run on these strings);
+    the CLI prints the 0x%lx format of hash.c:33."""
+    from jurassic_tpu.cli.strhash import djb2_64, main
+    golden = {
+        "CO2": 0xB87DA49,
+        "H2O": 0xB87EBEE,
+        "NU": 0x5974A8,
+        "CLIMATOLOGY": 0xBFC69EE6A254E6A9,
+        "jurassic-gpu": 0xD4DB58C432A53942,
+    }
+    for s, h in golden.items():
+        assert djb2_64(s) == h
+    assert main(["hash", "CO2"]) == 0
