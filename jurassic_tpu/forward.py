@@ -880,7 +880,14 @@ class ForwardModel:
         m = max(self.ray_multiple, 1)
         with self._exec_ctx():
             if ctl.ip == 1 and 0 < pack < obs.nr:
-                self._formod_packaged(atm, obs, -(-pack // m) * m)
+                # split the batch into equal-size packages (same count
+                # as the requested size implies, never larger): sizing
+                # 1084 rays as 2x717 would trace 350 dead padded rays
+                # (+32% device work); 2x542 pads only to the shard
+                # multiple
+                npk = -(-obs.nr // pack)
+                even = -(-obs.nr // npk)
+                self._formod_packaged(atm, obs, -(-even // m) * m)
             else:
                 r = obs.nr
                 obs_run = pad_obs(obs, -(-r // m) * m)
