@@ -552,6 +552,22 @@ class ForwardModel:
                 sched += G * nslot * K_aug * Dp * 4 // RG_MAX
         return los + streams + out + sched
 
+    def package_size(self, nr: int, pack: int | None = None) -> int:
+        """The ACTUAL per-package ray count formod runs for an nr-ray
+        batch: the batch is split into equal-size packages (same count
+        as the resolved RAYPACK size implies, never larger, rounded up
+        to the mesh ray-shard multiple).  Sizing 1084 rays as 2x717
+        would trace 350 dead padded rays (+32% device work); 2x542
+        pads only to the shard multiple.  0 = monolithic."""
+        if pack is None:
+            pack = self._resolve_raypack(nr)
+        if not (0 < pack < nr):
+            return 0
+        m = max(self.ray_multiple, 1)
+        npk = -(-nr // pack)
+        even = -(-nr // npk)
+        return -(-even // m) * m
+
     def _resolve_raypack(self, nr: int) -> int:
         """RAYPACK = 0 (default): auto-size the package so ~2 in-flight
         packages fit 90% of free device memory (the reference sizes its
@@ -880,14 +896,8 @@ class ForwardModel:
         m = max(self.ray_multiple, 1)
         with self._exec_ctx():
             if ctl.ip == 1 and 0 < pack < obs.nr:
-                # split the batch into equal-size packages (same count
-                # as the requested size implies, never larger): sizing
-                # 1084 rays as 2x717 would trace 350 dead padded rays
-                # (+32% device work); 2x542 pads only to the shard
-                # multiple
-                npk = -(-obs.nr // pack)
-                even = -(-obs.nr // npk)
-                self._formod_packaged(atm, obs, -(-even // m) * m)
+                self._formod_packaged(atm, obs,
+                                      self.package_size(obs.nr, pack))
             else:
                 r = obs.nr
                 obs_run = pad_obs(obs, -(-r // m) * m)
@@ -920,13 +930,35 @@ class ForwardModel:
         hybrid lanes are spliced from the exact table kernel -- the
         failure mode of a missed check is silent garbage, so the
         flags are consumed EVERY call."""
+        return self._outputs_to_host_many([(arrays, r, pend)])[0]
+
+    def _outputs_to_host_many(self, items):
+        """Batched form of :meth:`_outputs_to_host` over a package
+        list ``[(arrays, r, pend), ...]``: EVERY package's outputs and
+        capacity/taint flags join a single ``jax.device_get`` -- on a
+        tunneled device each pull pays a fixed ~tens-of-ms round trip,
+        so one pull for the whole package loop (vs one per package)
+        is the D2H analogue of the reference's single obs copy per
+        stream batch (GPUdrivers.cu:244).  Overridden by the sharded
+        model (allgather path)."""
+        flats, metas = [], []
+        for arrays, r, pend in items:
+            arrs = tuple(arrays)
+            extra = ()
+            if pend is not None:
+                okf, taintf, _redo = pend
+                extra = (okf,) + (() if taintf is None else (taintf,))
+            flats.append(arrs + extra)
+            metas.append((len(arrs), r, pend))
+        pulled_all = jax.device_get(flats)
+        return [self._finish_pulled(p, n, r, pend)
+                for p, (n, r, pend) in zip(pulled_all, metas)]
+
+    def _finish_pulled(self, pulled, n, r, pend):
         # np.array (not asarray): device_get may hand back zero-copy
         # read-only buffers, and formod mutates the outputs in place
         if pend is not None:
             okf, taintf, redo = pend
-            n = len(tuple(arrays))
-            extra = (okf,) + (() if taintf is None else (taintf,))
-            pulled = jax.device_get(tuple(arrays) + extra)
             ok = bool(np.asarray(pulled[n]).all())
             taint = (None if taintf is None
                      else np.asarray(pulled[n + 1]) > 0.5)
@@ -948,8 +980,7 @@ class ForwardModel:
                 host[0], host[1] = rad2, tau2
                 self.last_variant = "group"
             return tuple(a[:r] for a in host)
-        return tuple(np.array(a[:r], np.float64)
-                     for a in jax.device_get(arrays))
+        return tuple(np.array(a[:r], np.float64) for a in pulled[:n])
 
     def _formod_packaged(self, atm: Atm, obs: Obs, pack: int) -> None:
         """Pipelined package loop: enqueue trace+integrate per package
@@ -970,10 +1001,12 @@ class ForwardModel:
             handles.append((min(pack, R - start), los_k, out_k,
                             self._pop_pending_ok()))
         rad, tau, tpz, tplon, tplat = [], [], [], [], []
-        for n, los_k, out_k, pend in handles:        # sync D2H at the end
-            r5 = self._outputs_to_host(
-                (out_k.rad, out_k.tau, los_k.tpz, los_k.tplon,
-                 los_k.tplat), n, pend=pend)
+        # ONE device_get for every package's outputs + flags
+        results = self._outputs_to_host_many(
+            [((out_k.rad, out_k.tau, los_k.tpz, los_k.tplon,
+               los_k.tplat), n, pend)
+             for n, los_k, out_k, pend in handles])
+        for r5 in results:
             for dst, a in zip((rad, tau, tpz, tplon, tplat), r5):
                 dst.append(a)
         obs.rad = np.concatenate(rad)

@@ -242,6 +242,11 @@ class ShardedForwardModel(ForwardModel):
     def _to_host(self, x) -> np.ndarray:
         return host_gather(x).astype(np.float64)
 
+    def _outputs_to_host_many(self, items):
+        """Distributed arrays take the per-package allgather path (no
+        single-device_get batching across packages)."""
+        return [self._outputs_to_host(a, r, pend) for a, r, pend in items]
+
     def _outputs_to_host(self, arrays, r, pend=None):
         """Distributed arrays need the per-leaf allgather path (a plain
         device_get cannot materialise non-addressable shards).  The
