@@ -1393,8 +1393,27 @@ def _make_pool_kernel(G: int, S: int, Dp: int, W: int, RG: int,
         tn0 = jnp.zeros((RG, Dp), jnp.float32)
 
         if not early_exit:
-            rad, tau, _, taint = jax.lax.fori_loop(
-                0, nb, body, (rad0, tau0, tp0, tn0))
+            # Macro-stepped LOS loop: each fori iteration evaluates
+            # ``unroll`` consecutive segments.  lax.fori_loop's own
+            # unroll needs static bounds, but the per-segment body is
+            # already a masked no-op beyond a ray's np (valid_s == 0
+            # freezes every carry), so fusing k segments per dynamic
+            # step is bitwise identical while amortizing the Mosaic
+            # loop boundary (~us-scale per step on (8, Dp) vregs)
+            # across k segments.  Requires S % k == 0 so the last
+            # macro-step never indexes past the segment stream.
+            unroll = int(os.environ.get("JURASSIC_POOL_UNROLL", "1"))
+            if unroll > 1 and S % unroll == 0:
+                def body_k(i, carry):
+                    for j in range(unroll):
+                        carry = body(i * unroll + j, carry)
+                    return carry
+                rad, tau, _, taint = jax.lax.fori_loop(
+                    0, (nb + unroll - 1) // unroll, body_k,
+                    (rad0, tau0, tp0, tn0))
+            else:
+                rad, tau, _, taint = jax.lax.fori_loop(
+                    0, nb, body, (rad0, tau0, tp0, tn0))
         else:
             # same exact exit as the group kernel (see its comment);
             # with the pool pre-gathered there is no lookahead to
